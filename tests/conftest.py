@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Real TPU access is single-chip under the driver; multi-chip sharding tests
+use XLA's host-platform device virtualization instead.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed():
+    np.random.seed(0)
+    import random
+
+    random.seed(0)

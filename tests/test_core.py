@@ -1,0 +1,130 @@
+import numpy as np
+import pytest
+
+from fgt_tpu.core import flow_io, flow_viz, region_fill, masks, metrics, edge
+
+
+def test_flow_io_roundtrip(tmp_path):
+    flow = np.random.randn(24, 36, 2).astype(np.float32)
+    p = str(tmp_path / "a.flo")
+    flow_io.write_flow(flow, p)
+    back = flow_io.read_flow(p)
+    np.testing.assert_array_equal(flow, back)
+
+
+def test_flow_io_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.flo"
+    p.write_bytes(b"not a flow file")
+    with pytest.raises(ValueError):
+        flow_io.read_flow(str(p))
+
+
+def test_flow_viz_shapes_and_range():
+    flow = np.random.randn(20, 30, 2).astype(np.float32) * 5
+    rgb = flow_viz.flow_to_rgb(flow)
+    assert rgb.shape == (20, 30, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+    img = flow_viz.flow_to_image(flow)
+    assert img.dtype == np.uint8 and img.shape == (20, 30, 3)
+
+
+def test_flow_viz_zero_flow_is_white():
+    # zero motion maps to the wheel center => white
+    flow = np.zeros((8, 8, 2), dtype=np.float32)
+    rgb = flow_viz.flow_to_rgb(flow)
+    assert np.all(rgb > 0.95)
+
+
+def test_regionfill_constant_field():
+    img = np.full((32, 32), 3.5)
+    mask = np.zeros((32, 32))
+    mask[10:20, 12:22] = 1
+    corrupted = img.copy()
+    corrupted[mask > 0] = 0
+    filled = region_fill.regionfill(corrupted, mask)
+    np.testing.assert_allclose(filled, img, atol=1e-6)
+
+
+def test_regionfill_linear_ramp():
+    # harmonic interpolation reproduces a linear ramp exactly
+    ys = np.linspace(0, 1, 40)[:, None]
+    img = np.tile(ys, (1, 40))
+    mask = np.zeros((40, 40))
+    mask[15:25, 15:25] = 1
+    corrupted = img * (1 - mask)
+    filled = region_fill.regionfill(corrupted, mask)
+    np.testing.assert_allclose(filled, img, atol=1e-6)
+
+
+def test_regionfill_no_mask_noop():
+    img = np.random.randn(16, 16)
+    out = region_fill.regionfill(img, np.zeros((16, 16)))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_diffuse_flow_preserves_valid():
+    flow = np.random.randn(24, 24, 2).astype(np.float32)
+    mask = np.zeros((24, 24))
+    mask[8:16, 8:16] = 1
+    out = region_fill.diffuse_flow(flow, mask)
+    valid = mask == 0
+    np.testing.assert_allclose(out[valid], flow[valid], atol=1e-5)
+
+
+def test_masks_static_and_moving():
+    ms = masks.create_random_shape_with_random_motion(8, 0.9, 1.1, 1, 10, 120, 216)
+    assert len(ms) == 8
+    for m in ms:
+        assert m.shape == (120, 216)
+        assert m.dtype == np.uint8
+        assert set(np.unique(m)).issubset({0, 255})
+    assert any(m.sum() > 0 for m in ms)
+
+
+def test_psnr_identity_and_known():
+    a = np.random.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+    assert metrics.psnr(a, a) == float("inf")
+    b = a.astype(np.int32) + 10
+    b = np.clip(b, 0, 255).astype(np.uint8)
+    p = metrics.psnr(b, a)
+    assert 20 < p < 40
+
+
+def test_ssim_identity():
+    a = (np.random.rand(40, 40, 3) * 255).astype(np.uint8)
+    assert metrics.ssim(a, a) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ssim_decreases_with_noise():
+    a = (np.random.rand(64, 64) * 255).astype(np.uint8)
+    noise = np.clip(a + np.random.randn(64, 64) * 30, 0, 255).astype(np.uint8)
+    s_noisy = metrics.ssim_single(noise, a)
+    assert 0 < s_noisy < 0.99
+
+
+def test_calculate_metrics_keys():
+    a = (np.random.rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    logs = metrics.calculate_metrics(a, a)
+    assert set(logs) == {"l1", "l2", "psnr", "ssim"}
+    assert logs["l1"] == 0
+
+
+def test_flow_metrics():
+    f = np.random.randn(1, 24, 24, 2).astype(np.float32)
+    logs = metrics.calculate_flow_metrics(f, f)
+    assert logs["ssim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_canny_finds_edge_of_square():
+    img = np.zeros((64, 64))
+    img[20:44, 20:44] = 1.0
+    e = edge.canny(img, sigma=1.0, low_threshold=0.05, high_threshold=0.1)
+    assert e.sum() > 50  # a ring of edge pixels
+    assert not e[0, 0] and not e[32, 32]
+
+
+def test_flow_edge_outputs():
+    flow = np.random.randn(32, 32, 2).astype(np.float32)
+    gray, e = edge.flow_edge(flow)
+    assert gray.shape == (32, 32) and gray.max() <= 1.0 + 1e-6
+    assert e.shape == (32, 32)
