@@ -6,11 +6,17 @@ use XLA's host-platform device virtualization instead.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness pre-sets JAX_PLATFORMS=axon (TPU tunnel) and its sitecustomize
+# imports jax at interpreter startup, so env vars are too late here — use
+# jax.config directly to force the virtual CPU platform.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
