@@ -1,0 +1,116 @@
+"""Tests for the classical CPU stages: flowNN propagation + Poisson blend."""
+
+import numpy as np
+
+from fgt_tpu.pipeline.poisson import poisson_blend, _unfilled_mask
+from fgt_tpu.pipeline.propagation import (PropagationConfig, consist_check,
+                                          get_flownn_gradient, interp)
+
+
+def test_interp_identity_points():
+    img = np.random.rand(16, 20).astype(np.float32)
+    ys, xs = np.mgrid[0:16, 0:20]
+    out = interp(img, xs.reshape(-1).astype(float), ys.reshape(-1).astype(float))
+    np.testing.assert_allclose(out.reshape(16, 20), img, atol=1e-6)
+
+
+def test_consist_check_zero_flow():
+    f = np.zeros((8, 8, 2), np.float32)
+    err, uv = consist_check(f, f)
+    np.testing.assert_allclose(err, 0, atol=1e-6)
+
+
+def _make_translating_scene(N=5, H=40, W=48, shift=2):
+    """A texture translating right by `shift` px/frame with exact flows."""
+    rng = np.random.RandomState(0)
+    base = rng.rand(H, W + N * shift, 3).astype(np.float32)
+    frames = np.stack([base[:, i * shift: i * shift + W] for i in range(N)],
+                      axis=-1)  # [H, W, 3, N]
+    # the crop window moves right, so scene content moves LEFT in image
+    # coordinates: forward flow u = -shift, backward flow u = +shift
+    flow_f = np.zeros((H, W, 2, N - 1), np.float32)
+    flow_f[:, :, 0] = -shift
+    flow_b = np.zeros((H, W, 2, N - 1), np.float32)
+    flow_b[:, :, 0] = shift
+    return frames, flow_f, flow_b
+
+
+def test_flownn_propagation_fills_translating_hole():
+    N, H, W, shift = 5, 40, 48, 2
+    frames, flow_f, flow_b = _make_translating_scene(N, H, W, shift)
+
+    gx = np.concatenate([np.diff(frames, axis=1),
+                         np.zeros((H, 1, 3, N), np.float32)], axis=1)
+    gy = np.concatenate([np.diff(frames, axis=0),
+                         np.zeros((1, W, 3, N), np.float32)], axis=0)
+
+    # hole only in the middle frame -> neighbors can fill everything
+    mask = np.zeros((H, W, N), bool)
+    mask[10:20, 20:30, 2] = True
+    gx_m, gy_m = gx.copy(), gy.copy()
+    gx_m[mask.transpose(0, 1, 2)[:, :, None].repeat(3, 2) if False else mask[:, :, None, :].repeat(3, 2)] = 0
+    gy_m[mask[:, :, None, :].repeat(3, 2)] = 0
+
+    cfg = PropagationConfig(consistency_thres=5.0, alpha=0.1)
+    out_gx, out_gy, tofill = get_flownn_gradient(
+        cfg, gx_m, gy_m, mask, mask.copy(), flow_f, flow_b)
+
+    assert tofill.sum() == 0, "all hole pixels reachable by chaining"
+    # recovered gradients should match the ground truth inside the hole
+    hole_region = out_gx[10:20, 20:29, :, 2]
+    true_region = gx[10:20, 20:29, :, 2]
+    err = np.abs(hole_region - true_region).mean()
+    assert err < 2e-2, f"gradient recovery error too high: {err}"
+
+
+def test_flownn_unreachable_pixels_reported():
+    N, H, W = 3, 24, 24
+    frames = np.random.rand(H, W, 3, N).astype(np.float32)
+    gx = np.zeros((H, W, 3, N), np.float32)
+    gy = np.zeros((H, W, 3, N), np.float32)
+    # hole everywhere in all frames at a fixed region -> unreachable
+    mask = np.zeros((H, W, N), bool)
+    mask[8:16, 8:16, :] = True
+    flow_f = np.zeros((H, W, 2, N - 1), np.float32)
+    flow_b = np.zeros((H, W, 2, N - 1), np.float32)
+    cfg = PropagationConfig()
+    _, _, tofill = get_flownn_gradient(cfg, gx, gy, mask, mask.copy(),
+                                       flow_f, flow_b)
+    assert tofill[10, 10, 1]
+
+
+def test_poisson_blend_reconstructs_smooth_patch():
+    H, W = 32, 32
+    ys = np.linspace(0, 1, H)[:, None, None]
+    xs = np.linspace(0, 2, W)[None, :, None]
+    img = np.tile(ys + xs, (1, 1, 3)).astype(np.float64)  # linear ramp
+    gx = np.diff(img, axis=1)
+    gy = np.diff(img, axis=0)
+    hole = np.zeros((H, W), bool)
+    hole[10:20, 12:22] = True
+    target = img.copy()
+    target[hole] = 0
+    out, unfilled = poisson_blend(target, gx, gy, hole)
+    assert unfilled.sum() == 0
+    np.testing.assert_allclose(out, img, atol=1e-4)
+
+
+def test_poisson_blend_empty_hole():
+    img = np.random.rand(8, 8, 3)
+    out, unfilled = poisson_blend(img, np.diff(img, 1, 1), np.diff(img, 1, 0),
+                                  np.zeros((8, 8)))
+    np.testing.assert_allclose(out, img)
+    assert unfilled.sum() == 0
+
+
+def test_unfilled_mask_blocked_region():
+    hole = np.zeros((10, 10), bool)
+    hole[3:7, 3:7] = True
+    # all gradients masked inside the hole -> nothing can connect
+    gm = hole.copy()
+    # expand gm so the perimeter's gradients are also invalid
+    gm[2:8, 2:8] = True
+    unfilled = _unfilled_mask(hole, gm)
+    assert unfilled[4:6, 4:6].all()
+    # with no gradient mask, everything connects
+    assert _unfilled_mask(hole, np.zeros((10, 10), bool)).sum() == 0
