@@ -49,14 +49,16 @@ class _Norm(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.kind == "instance":
-            # torch InstanceNorm2d(affine=False)
+            # torch InstanceNorm2d(affine=False, eps=1e-5)
             return nn.GroupNorm(num_groups=None, group_size=1,
-                                use_bias=False, use_scale=False)(x)
+                                use_bias=False, use_scale=False,
+                                epsilon=1e-5)(x)
         if self.kind == "batch":
             # frozen model: always running averages
-            return nn.BatchNorm(use_running_average=True)(x)
+            return nn.BatchNorm(use_running_average=True, epsilon=1e-5)(x)
         if self.kind == "group":
-            return nn.GroupNorm(num_groups=self.channels // 8)(x)
+            return nn.GroupNorm(num_groups=self.channels // 8,
+                                epsilon=1e-5)(x)
         return x
 
 
@@ -131,9 +133,13 @@ def lookup_corr_pyramid(pyramid: list[jnp.ndarray], coords: jnp.ndarray,
     r = radius
     k = 2 * r + 1
     d = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    dyx = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1)  # [k,k,2](dy,dx)
-    dx = dyx[..., 1].reshape(-1)
-    dy = dyx[..., 0].reshape(-1)
+    # reference quirk (RAFT/corr.py:37-43): delta = meshgrid(dy, dx) is added
+    # to (x, y)-ordered centroids, so the X offset varies with the SLOW index
+    # and the Y offset with the fast index. The trained motion encoder
+    # expects exactly this channel order.
+    dg = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1)  # [k,k,2]
+    dx = dg[..., 0].reshape(-1)  # slow index
+    dy = dg[..., 1].reshape(-1)  # fast index
 
     flat = coords.reshape(N, 2)
     outs = []

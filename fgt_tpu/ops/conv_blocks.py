@@ -101,23 +101,32 @@ class ConvND(nn.Module):
         return y.astype(x.dtype)
 
     def _spectral_normalize(self, kernel, sn_update):
+        # torch.nn.utils.spectral_norm semantics: u, v persistent buffers;
+        # one power-iteration step per training call, frozen at eval.
         out = kernel.shape[-1]
+        rest = kernel.size // out
         mat = kernel.reshape(-1, out).T  # (out, rest)
-        u_var = self.variable(
-            "spectral", "u",
-            lambda: jax.random.normal(self.make_rng("params") if self.has_rng("params")
-                                      else jax.random.PRNGKey(0), (out,)))
-        u = u_var.value
 
         def normalize(v):
             return v / (jnp.linalg.norm(v) + 1e-12)
 
-        v = normalize(mat.T @ u)
-        u_new = normalize(mat @ v)
+        key = jax.random.PRNGKey(0)
+        u_var = self.variable(
+            "spectral", "u",
+            lambda: normalize(jax.random.normal(key, (out,))))
+        v_var = self.variable(
+            "spectral", "v",
+            lambda: normalize(jax.random.normal(
+                jax.random.fold_in(key, 1), (rest,))))
+        u, v = u_var.value, v_var.value
         if sn_update and not self.is_initializing():
-            u_var.value = jax.lax.stop_gradient(u_new)
-        sigma = jnp.einsum("i,ij,j->", jax.lax.stop_gradient(u_new), mat,
-                           jax.lax.stop_gradient(v))
+            v = normalize(jax.lax.stop_gradient(mat).T @ u)
+            u = normalize(jax.lax.stop_gradient(mat) @ v)
+            u_var.value = u
+            v_var.value = v
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = jnp.einsum("i,ij,j->", u, mat, v)
         return kernel / sigma
 
 
