@@ -13,7 +13,7 @@ scatter/conv-transpose lowering on TPU.
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +52,9 @@ def unfold(x: jnp.ndarray, kernel_size, stride=1, padding=0) -> jnp.ndarray:
     return patches.reshape(B, oh * ow, C * k[0] * k[1])
 
 
-@functools.lru_cache(maxsize=64)
 def _fold_transpose_fn(img_shape, kernel_size, stride, padding, dtype_name):
+    # NOTE: deliberately NOT cached — jax.linear_transpose may close over
+    # trace-local constants, and caching across jit traces leaks tracers.
     dtype = jnp.dtype(dtype_name)
 
     def u(img):

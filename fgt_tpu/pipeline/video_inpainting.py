@@ -141,7 +141,8 @@ class Models:
     def __init__(self, args):
         rng = jax.random.PRNGKey(0)
         # --- RAFT ---
-        self.raft = raft_mod.RAFT(raft_mod.RAFTConfig(iters=20))
+        self.raft_iters = getattr(args, "raft_iters", 20)
+        self.raft = raft_mod.RAFT(raft_mod.RAFTConfig(iters=self.raft_iters))
         dummy = jnp.zeros((1, 64, 64, 3))
         self.raft_vars = self.raft.init(rng, dummy, dummy, iters=1)
         raft_path = getattr(args, "raft_model", None)
@@ -488,8 +489,10 @@ def video_inpainting(args) -> str:
 
     with timer.stage("s1_raft"):
         flows_f = calculate_flows(models, video_flow, "forward", img_h, img_w,
+                                  iters=models.raft_iters,
                                   chunk=getattr(args, "raft_chunk", 4))
         flows_b = calculate_flows(models, video_flow, "backward", img_h, img_w,
+                                  iters=models.raft_iters,
                                   chunk=getattr(args, "raft_chunk", 4))
     video = video255 / 255.0
 
@@ -576,7 +579,9 @@ def video_inpainting(args) -> str:
         os.makedirs(args.outroot, exist_ok=True)
         frames_u8 = [c.astype(np.uint8) for c in comp_frames]
         out_path = os.path.join(args.outroot, "result.mp4")
-        imageio.mimwrite(out_path, frames_u8, fps=30, quality=8)
+        from fgt_tpu.core.video_io import write_video
+
+        write_video(out_path, frames_u8, fps=30, quality=8)
         if getattr(args, "vis_frame", False):
             d = os.path.join(args.outroot, "frames")
             os.makedirs(d, exist_ok=True)
@@ -630,6 +635,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_ref", type=int, default=-1)
     p.add_argument("--neighbor_stride", type=int, default=5)
     p.add_argument("--raft_chunk", type=int, default=4)
+    p.add_argument("--raft_iters", type=int, default=20)
     p.add_argument("--lafc_chunk", type=int, default=8)
     p.add_argument("--vis_flows", action="store_true")
     p.add_argument("--vis_completed_flows", action="store_true")
