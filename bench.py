@@ -1,0 +1,112 @@
+"""End-to-end benchmark: object removal at 432x240 (the reference's demo
+protocol, tool/video_inpainting.py:829-830) on synthetic data.
+
+Runs the full 7-stage pipeline (RAFT flows -> LAFC completion -> gradient
+propagation -> Poisson blend -> FGT synthesis -> mp4) twice: a cold pass to
+populate compile caches, then a timed warm pass. Prints ONE JSON line:
+
+  {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": r}
+
+vs_baseline compares against the measured PyTorch-reference throughput in
+BASELINE_MEASURED.json (0.0 when that file has not been produced yet).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import imageio.v2 as imageio
+import numpy as np
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "24"))
+IMG_H, IMG_W = 240, 432
+
+
+def make_synthetic_data(root: str, n: int = N_FRAMES,
+                        h: int = IMG_H, w: int = IMG_W):
+    """Textured panning background + a moving square hole, so every stage
+    (flow estimation, completion, propagation, blending, synthesis) does
+    real work."""
+    frames_dir = os.path.join(root, "frames")
+    masks_dir = os.path.join(root, "masks")
+    os.makedirs(frames_dir, exist_ok=True)
+    os.makedirs(masks_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    pan = 2
+    base = (rng.rand(h + 8, w + pan * n + 8, 3) * 255).astype(np.uint8)
+    base = np.asarray(base, np.float32)
+    # smooth the noise so RAFT sees trackable texture, not speckle
+    k = np.ones((9, 9), np.float32) / 81.0
+    import cv2
+
+    base = cv2.filter2D(base, -1, k).astype(np.uint8)
+    for i in range(n):
+        frame = base[4:4 + h, 4 + pan * i:4 + pan * i + w]
+        imageio.imwrite(os.path.join(frames_dir, f"{i:05d}.png"), frame)
+        mask = np.zeros((h, w), np.uint8)
+        y, x = 90, 160 + pan * i
+        mask[y:y + 56, x:x + 56] = 255
+        imageio.imwrite(os.path.join(masks_dir, f"{i:05d}.png"), mask)
+    return frames_dir, masks_dir
+
+
+def run_pipeline(frames_dir: str, masks_dir: str, outroot: str):
+    from fgt_tpu.pipeline.video_inpainting import build_parser, video_inpainting
+
+    argv = [
+        "--mode", "object_removal",
+        "--path", frames_dir,
+        "--path_mask", masks_dir,
+        "--outroot", outroot,
+        "--imgH", str(IMG_H),
+        "--imgW", str(IMG_W),
+    ]
+    args = build_parser().parse_args(argv)
+    t0 = time.perf_counter()
+    out_path = video_inpainting(args)
+    wall = time.perf_counter() - t0
+    with open(os.path.join(outroot, "timings.jsonl")) as f:
+        stages = json.loads(f.readlines()[-1])["stages"]
+    return out_path, wall, stages
+
+
+def main():
+    root = tempfile.mkdtemp(prefix="fgt_bench_")
+    try:
+        frames_dir, masks_dir = make_synthetic_data(root)
+
+        # cold pass: compiles + tunnel warmup
+        run_pipeline(frames_dir, masks_dir, os.path.join(root, "out_cold"))
+        # warm pass: the measured run
+        out_path, wall, stages = run_pipeline(
+            frames_dir, masks_dir, os.path.join(root, "out_warm"))
+        assert os.path.exists(out_path)
+
+        fps = N_FRAMES / wall
+        baseline_fps = 0.0
+        baseline_path = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+        if os.path.exists(baseline_path):
+            with open(baseline_path) as f:
+                baseline_fps = float(json.load(f).get("e2e_fps", 0.0))
+        vs = fps / baseline_fps if baseline_fps > 0 else 0.0
+        rec = {
+            "metric": "e2e_frames_per_sec_432x240_object_removal",
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(vs, 3),
+            "n_frames": N_FRAMES,
+            "stages_s": {k: round(v, 2) for k, v in stages.items()},
+        }
+        print(json.dumps(rec))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

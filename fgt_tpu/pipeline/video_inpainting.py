@@ -144,7 +144,10 @@ class Models:
         self.raft_iters = getattr(args, "raft_iters", 20)
         self.raft = raft_mod.RAFT(raft_mod.RAFTConfig(iters=self.raft_iters))
         dummy = jnp.zeros((1, 64, 64, 3))
-        self.raft_vars = self.raft.init(rng, dummy, dummy, iters=1)
+        # jit the init: eager init dispatches thousands of tiny ops, which
+        # is pathological over a high-latency device tunnel
+        self.raft_vars = jax.jit(
+            functools.partial(self.raft.init, iters=1))(rng, dummy, dummy)
         raft_path = getattr(args, "raft_model", None)
         if raft_path and os.path.exists(raft_path) and raft_path.endswith(".msgpack"):
             self.raft_vars = ckpt_utils.load_pytree(self.raft_vars, raft_path)
@@ -186,12 +189,12 @@ class Models:
             t = config.get("num_flows", 3)
             dummy_f = jnp.zeros((1, t, 64, 64, 2))
             dummy_m = jnp.zeros((1, t, 64, 64, 1))
-            variables = model.init(rng, dummy_f, dummy_m)
+            variables = jax.jit(model.init)(rng, dummy_f, dummy_m)
         else:
             dummy_fr = jnp.zeros((1, 2, 64, 64, 3))
             dummy_fl = jnp.zeros((1, 2, 64, 64, 2))
             dummy_m = jnp.zeros((1, 2, 64, 64, 1))
-            variables = model.init(rng, dummy_fr, dummy_fl, dummy_m)
+            variables = jax.jit(model.init)(rng, dummy_fr, dummy_fl, dummy_m)
         if params:
             variables = ckpt_utils.load_pytree(variables, params)
             loaded = True
@@ -468,6 +471,9 @@ def load_masks(path: str, img_h: int, img_w: int, flow_mask_dilates: int,
 # ---------------- driver ----------------
 
 def video_inpainting(args) -> str:
+    from fgt_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     timer = StageTimer()
     img_h, img_w = args.imgH, args.imgW
     if img_h < 350:

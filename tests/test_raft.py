@@ -66,3 +66,39 @@ def test_raft_forward_smoke():
     assert lr.shape == (1, 8, 8, 2)
     assert up.shape == (1, 64, 64, 2)
     assert np.isfinite(np.asarray(up)).all()
+
+
+def test_lookup_matches_scalar_tap_reference():
+    """The banded/one-hot lookup must be bit-equal to the naive 4-corner
+    scalar-gather formulation (which mirrors torch grid_sample zeros
+    semantics), including coords far outside the volume."""
+    from fgt_tpu.models.raft import _bilinear_volume_sample
+
+    def scalar_lookup(pyramid, coords, radius):
+        B, H, W, _ = coords.shape
+        N = B * H * W
+        k = 2 * radius + 1
+        d = jnp.arange(-radius, radius + 1, dtype=coords.dtype)
+        dg = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1)
+        dx = dg[..., 0].reshape(-1)
+        dy = dg[..., 1].reshape(-1)
+        flat = coords.reshape(N, 2)
+        outs = []
+        for i, corr in enumerate(pyramid):
+            cx = flat[:, 0:1] / (2 ** i) + dx[None, :]
+            cy = flat[:, 1:2] / (2 ** i) + dy[None, :]
+            outs.append(_bilinear_volume_sample(corr, cx, cy))
+        return jnp.concatenate(outs, axis=-1).reshape(
+            B, H, W, len(pyramid) * k * k)
+
+    rng = np.random.RandomState(7)
+    B, H, W, C = 2, 12, 20, 8
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2, num_levels=4)
+    coords = jnp.asarray(
+        (rng.rand(B, H, W, 2).astype(np.float32) * 60 - 15))
+    for radius in (1, 4):
+        want = np.asarray(scalar_lookup(pyr, coords, radius))
+        got = np.asarray(lookup_corr_pyramid(pyr, coords, radius))
+        np.testing.assert_allclose(got, want, atol=1e-6)
