@@ -1,0 +1,132 @@
+"""In-training validation on a DAVIS-style tree
+(reference FGT/networks/network.py:258-354, LAFC/networks/network.py:271-373).
+
+Protocol: first ``num_videos`` videos, a window of ``num_frames`` around
+pivot frame 20 plus dilated reference frames, masks from ``mask_root`` (or
+a centered square when absent), diffusion-filled flows, PSNR/SSIM/L1/L2 on
+uint8 composites.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import cv2
+import imageio.v2 as imageio
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fgt_tpu.core import metrics as metrics_mod
+from fgt_tpu.core.flow_io import read_flow
+from fgt_tpu.core.masks import rect_mask
+from fgt_tpu.data.datasets import diffusion_fill, flow_tf
+from fgt_tpu.train.fgt_step import norm_flows_nhwc
+
+
+def _ref_index(neighbor_ids, length, ref_length):
+    refs = []
+    for i in range(0, length, ref_length):
+        if i not in neighbor_ids:
+            refs.append(i)
+    return refs
+
+
+def _read_window_frames(frame_dir, width, height, ids):
+    out = []
+    for i in ids:
+        for ext in ("jpg", "png"):
+            p = os.path.join(frame_dir, f"{i:05d}.{ext}")
+            if os.path.exists(p):
+                f = imageio.imread(p)
+                out.append(cv2.resize(f[..., :3], (width, height)))
+                break
+        else:
+            return []
+    return out
+
+
+def validate_fgt(gen, g_params, frame_root: str, flow_root: Optional[str],
+                 flow_params=None, flow_model=None, mask_root: Optional[str]
+                 = None, num_videos: int = 10, resolution=(240, 432),
+                 mask_size: int = 96, pivot: int = 20, num_frames: int = 5,
+                 ref_length: int = 20) -> dict:
+    height, width = resolution
+    videos = sorted(os.listdir(frame_root))[:num_videos]
+    apply_fn = jax.jit(lambda p, fr, fl, m: gen.apply(p, fr, fl, m))
+    flow_fn = None
+    if flow_model is not None and flow_params is not None:
+        flow_fn = jax.jit(lambda p, f, m: flow_model.apply(p, f, m))
+
+    psnrs, ssims, l1s, l2s = [], [], [], []
+    for video in videos:
+        frame_dir = os.path.join(frame_root, video)
+        n = len(glob.glob(os.path.join(frame_dir, "*.jpg"))) or \
+            len(glob.glob(os.path.join(frame_dir, "*.png")))
+        if n == 0:
+            continue
+        piv = min(pivot, n - 1)
+        neighbor_ids = list(range(max(0, piv - num_frames // 2),
+                                  min(n, piv + num_frames // 2)))
+        ids = _ref_index(neighbor_ids, n, ref_length) + neighbor_ids
+        frames = _read_window_frames(frame_dir, width, height, ids)
+        if not frames:
+            continue
+
+        masks = []
+        for i in ids:
+            m = None
+            if mask_root:
+                p = os.path.join(mask_root, video, f"{i:05d}.png")
+                if os.path.exists(p):
+                    m = (imageio.imread(p) > 127).astype(np.uint8)
+                    if m.ndim == 3:
+                        m = m[..., 0]
+                    m = cv2.resize(m, (width, height),
+                                   interpolation=cv2.INTER_NEAREST)
+            if m is None:
+                m = rect_mask(height, width, size=mask_size)
+            masks.append(m)
+
+        flows = []
+        for i in ids:
+            f = None
+            if flow_root:
+                p = os.path.join(flow_root, video, "forward_flo",
+                                 f"{min(i, n - 2):05d}.flo")
+                if os.path.exists(p):
+                    f = flow_tf(read_flow(p), height, width)
+            if f is None:
+                f = np.zeros((height, width, 2), np.float32)
+            flows.append(diffusion_fill(f, masks[len(flows)]))
+
+        frames_np = np.stack(frames).astype(np.float32) / 127.5 - 1
+        masks_np = np.stack(masks).astype(np.float32)[..., None]
+        flows_np = np.stack(flows).astype(np.float32)
+
+        if flow_fn is not None:
+            out = flow_fn(flow_params, jnp.asarray(flows_np),
+                          jnp.asarray(masks_np))
+            flows_np = np.asarray(out[0] if isinstance(out, tuple) else out)
+        flows_j = norm_flows_nhwc(jnp.asarray(flows_np)[None])
+        frames_j = jnp.asarray(frames_np)[None]
+        masks_j = jnp.asarray(masks_np)[None]
+        filled = np.asarray(apply_fn(g_params, frames_j * (1 - masks_j),
+                                     flows_j, masks_j))[0]
+        comp = filled * masks_np + frames_np * (1 - masks_np)
+
+        gt_u8 = ((frames_np + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        comp_u8 = ((comp + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        for t in range(gt_u8.shape[0]):
+            psnrs.append(metrics_mod.psnr(comp_u8[t], gt_u8[t]))
+            ssims.append(metrics_mod.ssim(comp_u8[t], gt_u8[t]))
+            l1s.append(np.abs(comp_u8[t].astype(np.float64)
+                              - gt_u8[t].astype(np.float64)).mean())
+            l2s.append(((comp_u8[t].astype(np.float64)
+                         - gt_u8[t].astype(np.float64)) ** 2).mean())
+    if not psnrs:
+        return {}
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+            "l1": float(np.mean(l1s)), "l2": float(np.mean(l2s))}
