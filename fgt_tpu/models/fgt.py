@@ -61,6 +61,9 @@ class FGTConfig:
     sw: int = 8                    # spatial window size
     gd: int = 4                    # global token downsample stride
     input_resolution: Tuple[int, int] = (240, 432)
+    use_flash: bool = False        # fused Pallas temporal attention
+                                   # (inference-only until the custom VJP
+                                   # lands; training uses XLA attention)
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "FGTConfig":
@@ -88,6 +91,7 @@ class FGTConfig:
             pass_mask=bool(get("PASSMASK", get("pass_mask", 1))),
             tw=get("tw", 2), sw=get("sw", 8), gd=get("gd", 4),
             input_resolution=tuple(res),
+            use_flash=bool(get("use_flash", 0)),
         )
 
 
@@ -207,6 +211,7 @@ class TemporalTransformer(nn.Module):
         s = nn.LayerNorm(name="norm1")(x)
         att = TMHSA(d_model=c.frame_hidden, group_size=c.tw,
                     num_heads=c.num_heads, dropout=c.drop,
+                    use_flash=c.use_flash,
                     name="attention")(s, t, h, w, deterministic=deterministic)
         if c.drop > 0:
             att = nn.Dropout(c.drop)(att, deterministic=deterministic)

@@ -52,6 +52,7 @@ class TMHSA(nn.Module):
     group_size: int
     num_heads: int
     dropout: float = 0.0
+    use_flash: bool = False   # fused Pallas attention (inference; no VJP yet)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: int, h: int, w: int,
@@ -78,7 +79,13 @@ class TMHSA(nn.Module):
             y = y.transpose(0, 2, 4, 6, 1, 3, 5, 7)
             return y.reshape(b, g * g, self.num_heads, t * win_h * win_w, ch)
 
-        att = _attend(part(q), part(k), part(v), 1.0 / math.sqrt(ch))
+        if self.use_flash:
+            from fgt_tpu.ops.flash_attention import flash_attend
+
+            att = flash_attend(part(q), part(k), part(v),
+                               1.0 / math.sqrt(ch))
+        else:
+            att = _attend(part(q), part(k), part(v), 1.0 / math.sqrt(ch))
         att = att.reshape(b, g, g, self.num_heads, t, win_h, win_w, ch)
         att = att.transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(bt, new_h, new_w, c)
         att = att[:, :h, :w, :].reshape(bt, n, c)

@@ -132,6 +132,7 @@ DEFAULT_FGT_CONFIG = {
     "tw": 2, "sw": 8, "gd": 4, "kernel_size_w": 7, "kernel_size_h": 7,
     "stride_h": 3, "stride_w": 3, "pad_h": 3, "pad_w": 3,
     "res_h": 240, "res_w": 432, "num_frames": 5, "flow_direction": "for",
+    "use_flash": 1,   # fused Pallas temporal attention (inference path)
 }
 
 
@@ -217,6 +218,80 @@ class Models:
         return run
 
     @functools.cached_property
+    def raft_resized_fn(self):
+        """RAFT + on-device flow resize/rescale to the image resolution.
+
+        Keeps the D2H transfer at image resolution (the reference fetches
+        full-res flows and resizes on CPU, :264-270 — 5-6x more bytes over
+        the interconnect)."""
+        @functools.partial(jax.jit, static_argnums=(3, 4, 5))
+        def run(variables, img1, img2, iters, out_h, out_w):
+            flow = self.raft.apply(variables, img1, img2, iters=iters,
+                                   test_mode=True)[1]
+            b, h, w, _ = flow.shape
+            scale = jnp.asarray([out_w / w, out_h / h], flow.dtype)
+            out = jax.image.resize(flow, (b, out_h, out_w, 2), "bilinear")
+            return out * scale
+        return run
+
+    # device-resident window paths: the video/flows are uploaded ONCE as
+    # compact dtypes and frame windows are gathered on device — host<->device
+    # traffic per stage drops from O(windows * window_size) to O(video).
+
+    @functools.cached_property
+    def raft_pairs_fn(self):
+        @functools.partial(jax.jit, static_argnums=(4, 5, 6))
+        def run(variables, video_u8, src_idx, dst_idx, iters, out_h, out_w):
+            a = jnp.take(video_u8, src_idx, axis=0).astype(jnp.float32)
+            b = jnp.take(video_u8, dst_idx, axis=0).astype(jnp.float32)
+            flow = self.raft.apply(variables, a, b, iters=iters,
+                                   test_mode=True)[1]
+            bsz, h, w, _ = flow.shape
+            if (out_h, out_w) != (h, w):
+                scale = jnp.asarray([out_w / w, out_h / h], flow.dtype)
+                flow = jax.image.resize(
+                    flow, (bsz, out_h, out_w, 2), "bilinear") * scale
+            return flow
+        return run
+
+    @functools.cached_property
+    def lafc_window_fn(self):
+        @jax.jit
+        def run(variables, diffused, masks, flows, ids):
+            b, t = ids.shape
+            h, w = diffused.shape[1:3]
+            wf = jnp.take(diffused, ids.reshape(-1), axis=0)
+            wm = jnp.take(masks, ids.reshape(-1), axis=0)
+            out = self.lafc_model.apply(variables, wf.reshape(b, t, h, w, 2),
+                                        wm.reshape(b, t, h, w, 1))
+            out = out[0] if isinstance(out, tuple) else out
+            # composite at the pivot (reference :381)
+            piv = ids[:, t // 2]
+            pm = jnp.take(masks, piv, axis=0)
+            pf = jnp.take(flows, piv, axis=0)
+            return out * pm + pf * (1 - pm)
+        return run
+
+    @functools.cached_property
+    def fgt_window_fn(self):
+        @jax.jit
+        def run(variables, video_u8, masks_u8, flows, ids):
+            b, t = ids.shape
+            h, w = video_u8.shape[1:3]
+            fr = jnp.take(video_u8, ids.reshape(-1), axis=0)
+            fr = fr.astype(jnp.float32).reshape(b, t, h, w, 3) / 255.0
+            fr = fr * 2.0 - 1.0
+            m = jnp.take(masks_u8, ids.reshape(-1), axis=0)
+            m = m.astype(jnp.float32).reshape(b, t, h, w, 1)
+            fl = jnp.take(flows, ids.reshape(-1), axis=0)
+            fl = fl.reshape(b, t, h, w, 2)
+            out = self.fgt_model.apply(variables, fr * (1 - m), fl, m)
+            # uint8 quantization on device (f32->u8 convert truncates like
+            # numpy astype, matching the reference composite :734-740)
+            return ((out + 1.0) / 2.0 * 255.0).astype(jnp.uint8)
+        return run
+
+    @functools.cached_property
     def lafc_fn(self):
         @jax.jit
         def run(variables, flows, masks):
@@ -236,12 +311,13 @@ class Models:
 
 def calculate_flows(models: Models, video: np.ndarray, mode: str,
                     img_h: int, img_w: int, iters: int = 20,
-                    chunk: int = 4) -> np.ndarray:
+                    chunk: int = 4, device_resize: bool = True) -> np.ndarray:
     """RAFT pairwise flows, batched over pair-chunks on TPU.
 
     video: [N, H', W', 3] float in [0, 255] (flow resolution).
     Returns [N-1, img_h, img_w, 2] (reference resizes + rescales flows,
-    :264-270).
+    :264-270; with ``device_resize`` the resize runs on TPU and only
+    image-resolution flows cross the interconnect).
     """
     n = video.shape[0]
     if mode == "forward":
@@ -251,6 +327,28 @@ def calculate_flows(models: Models, video: np.ndarray, mode: str,
     else:
         raise NotImplementedError(mode)
     pairs = n - 1
+    if device_resize:
+        # one compact upload; pair windows gathered on device
+        video_u8 = jnp.asarray(
+            np.clip(np.round(video), 0, 255).astype(np.uint8))
+        if mode == "forward":
+            s_idx = np.arange(pairs)
+            d_idx = np.arange(1, pairs + 1)
+        else:
+            s_idx = np.arange(1, pairs + 1)
+            d_idx = np.arange(pairs)
+        flows = []
+        for lo, hi in _chunked(pairs, chunk):
+            sel = np.arange(lo, hi)
+            if hi - lo < chunk:  # pad to keep one compiled shape
+                sel = np.concatenate([sel, np.repeat(sel[-1:],
+                                                     chunk - (hi - lo))])
+            out = np.asarray(models.raft_pairs_fn(
+                models.raft_vars, video_u8, jnp.asarray(s_idx[sel]),
+                jnp.asarray(d_idx[sel]), iters, img_h, img_w))
+            flows.append(out[:hi - lo])
+        return np.concatenate(flows, axis=0)
+
     flows = []
     for lo, hi in _chunked(pairs, chunk):
         a = src[lo:hi]
@@ -292,30 +390,25 @@ def complete_flows(models: Models, flows: np.ndarray, flow_masks: np.ndarray,
     masks = flow_masks[:-1] if mode == "forward" else flow_masks[1:]
     t = flows.shape[0]
     diffused = diffusion(flows, masks)
-    pivot = num_flows // 2
 
-    windows_f = np.stack([diffused[indices_gen(i, interval, num_flows, t)]
-                          for i in range(t)], 0)  # [t, T, H, W, 2]
-    windows_m = np.stack([masks[indices_gen(i, interval, num_flows, t)]
-                          for i in range(t)], 0)
+    # single upload; windows gathered + pivot-composited on device
+    ids = np.asarray([indices_gen(i, interval, num_flows, t)
+                      for i in range(t)], np.int32)        # [t, T]
+    diffused_dev = jnp.asarray(diffused.astype(np.float32))
+    masks_dev = jnp.asarray(masks.astype(np.float32))
+    flows_dev = jnp.asarray(flows.astype(np.float32))
 
     outs = []
     for lo, hi in _chunked(t, chunk):
-        wf, wm = windows_f[lo:hi], windows_m[lo:hi]
-        pad = chunk - (hi - lo)
-        if pad:
-            wf = np.concatenate([wf, np.repeat(wf[-1:], pad, 0)], 0)
-            wm = np.concatenate([wm, np.repeat(wm[-1:], pad, 0)], 0)
-        out = np.asarray(models.lafc_fn(models.lafc_vars, jnp.asarray(wf),
-                                        jnp.asarray(wm)))
-        if pad:
-            out = out[:hi - lo]
-        outs.append(out)
-    completed = np.concatenate(outs, 0)  # [t, H, W, 2]
-
-    pivot_mask = masks  # window pivot == frame i itself
-    pivot_flow = flows
-    return completed * pivot_mask + pivot_flow * (1 - pivot_mask)
+        sel = ids[lo:hi]
+        if hi - lo < chunk:
+            sel = np.concatenate([sel, np.repeat(sel[-1:],
+                                                 chunk - (hi - lo), 0)], 0)
+        out = np.asarray(models.lafc_window_fn(
+            models.lafc_vars, diffused_dev, masks_dev, flows_dev,
+            jnp.asarray(sel)))
+        outs.append(out[:hi - lo])
+    return np.concatenate(outs, 0)  # [t, H, W, 2], already composited
 
 
 def prepare_gradients(video: np.ndarray, mask: np.ndarray,
@@ -345,39 +438,92 @@ def prepare_gradients(video: np.ndarray, mask: np.ndarray,
 
 def fgt_synthesis(models: Models, frames: np.ndarray, masks: np.ndarray,
                   flows_f: np.ndarray, neighbor_stride: int = 5,
-                  step: int = 10, num_ref: int = -1) -> list[np.ndarray]:
+                  step: int = 10, num_ref: int = -1,
+                  exact_windows: bool = False,
+                  window_batch: int = 4) -> list[np.ndarray]:
     """FGT windowed hallucination with overlap averaging (reference
     :699-740). frames: [N, H, W, 3] in [0,1]; masks: [N, H, W, 1];
-    flows_f: [N-1, H, W, 2]. Returns list of [H, W, 3] uint8-range floats."""
+    flows_f: [N-1, H, W, 2]. Returns list of [H, W, 3] uint8-range floats.
+
+    Default path is TPU-first: every window has the SAME static shape
+    (neighbor windows clamped inside the video instead of truncated at the
+    boundaries, reference-count-padded global refs) and windows are stacked
+    into batched forwards — one compiled executable and a handful of
+    dispatches for the whole video, versus the reference's one
+    variable-shape forward per window. ``exact_windows=True`` reproduces
+    the reference's per-window shapes bit-for-bit.
+    """
     n = frames.shape[0]
-    normed = frames * 2 - 1
     flows = np.concatenate([flows_f, flows_f[-1:]], axis=0)
     flows = norm_flows(flows)
     comp_frames: list[Optional[np.ndarray]] = [None] * n
 
-    for f in range(0, n, neighbor_stride):
-        neighbor_ids = list(range(max(0, f - neighbor_stride),
-                                  min(n, f + neighbor_stride + 1)))
-        ref_ids = get_ref_index(f, neighbor_ids, n, step, num_ref)
-        ids = neighbor_ids + ref_ids
-        sel_frames = normed[ids][None]           # [1, T, H, W, 3]
-        sel_masks = masks[ids][None]             # [1, T, H, W, 1]
-        sel_flows = flows[ids][None]
-        masked = sel_frames * (1 - sel_masks)
-        out = np.asarray(models.fgt_fn(models.fgt_vars, jnp.asarray(masked),
-                                       jnp.asarray(sel_flows),
-                                       jnp.asarray(sel_masks)))[0]
-        out = (out + 1) / 2 * 255
+    def composite(out_u8, neighbor_ids):
+        """out_u8: [T, H, W, 3] uint8 window output."""
         for k, idx in enumerate(neighbor_ids):
             valid = frames[idx] * 255.0
             m = masks[idx]
-            comp = (out[k].astype(np.uint8) * m
+            comp = (out_u8[k] * m
                     + valid.astype(np.uint8) * (1 - m)).astype(np.float32)
             if comp_frames[idx] is None:
                 comp_frames[idx] = comp
             else:
                 comp_frames[idx] = comp_frames[idx] * 0.5 + comp * 0.5
-    return [c for c in comp_frames]
+
+    pivots = list(range(0, n, neighbor_stride))
+    if exact_windows:
+        normed = frames * 2 - 1
+        for f in pivots:
+            neighbor_ids = list(range(max(0, f - neighbor_stride),
+                                      min(n, f + neighbor_stride + 1)))
+            ref_ids = get_ref_index(f, neighbor_ids, n, step, num_ref)
+            ids = neighbor_ids + ref_ids
+            masked = (normed[ids] * (1 - masks[ids]))[None]
+            out = np.asarray(models.fgt_fn(
+                models.fgt_vars, jnp.asarray(masked),
+                jnp.asarray(flows[ids][None]),
+                jnp.asarray(masks[ids][None])))[0]
+            composite(((out + 1) / 2 * 255).astype(np.uint8), neighbor_ids)
+        return list(comp_frames)
+
+    # ---- fixed-shape batched windows, gathered on device ----
+    t_n = min(n, 2 * neighbor_stride + 1)
+    window_neighbors, window_refs = [], []
+    for f in pivots:
+        start = int(np.clip(f - neighbor_stride, 0, n - t_n))
+        window_neighbors.append(list(range(start, start + t_n)))
+        window_refs.append(get_ref_index(f, window_neighbors[-1], n, step,
+                                         num_ref))
+    n_ref = max(len(r) for r in window_refs)
+    for neigh, refs in zip(window_neighbors, window_refs):
+        # pad the ref list to n_ref with distinct out-of-window frames
+        # (extra global context; outputs for refs are discarded anyway)
+        extra = (i for i in range(n)
+                 if i not in refs and i not in neigh)
+        while len(refs) < n_ref:
+            refs.append(next(extra, refs[-1] if refs else neigh[-1]))
+
+    ids_mat = np.asarray([ne + re for ne, re in
+                          zip(window_neighbors, window_refs)],
+                         np.int32)                   # [W, T]
+    # one compact upload for the whole video
+    video_u8 = jnp.asarray(
+        np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8))
+    masks_u8 = jnp.asarray(masks.astype(np.uint8))
+    flows_dev = jnp.asarray(flows.astype(np.float32))
+
+    w_total = ids_mat.shape[0]
+    for lo, hi in _chunked(w_total, window_batch):
+        sel = ids_mat[lo:hi]
+        if hi - lo < window_batch:   # keep one compiled shape
+            sel = np.concatenate(
+                [sel, np.repeat(sel[-1:], window_batch - (hi - lo), 0)], 0)
+        out = np.asarray(models.fgt_window_fn(
+            models.fgt_vars, video_u8, masks_u8, flows_dev,
+            jnp.asarray(sel)))
+        for w in range(hi - lo):
+            composite(out[w], window_neighbors[lo + w])
+    return list(comp_frames)
 
 
 def extrapolation(video: np.ndarray, flows_f: np.ndarray, flows_b: np.ndarray,
@@ -470,7 +616,9 @@ def load_masks(path: str, img_h: int, img_w: int, flow_mask_dilates: int,
 
 # ---------------- driver ----------------
 
-def video_inpainting(args) -> str:
+def video_inpainting(args, models: Optional[Models] = None) -> str:
+    """Run the full pipeline. Pass a resident ``models`` to amortize model
+    construction + jit across videos (batch processing / serving)."""
     from fgt_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -482,7 +630,8 @@ def video_inpainting(args) -> str:
         flow_h, flow_w = img_h, img_w
 
     with timer.stage("s0_init"):
-        models = Models(args)
+        if models is None:
+            models = Models(args)
 
     with timer.stage("s0_load_frames"):
         premask = args.mode == "watermark_removal"
@@ -494,12 +643,15 @@ def video_inpainting(args) -> str:
                 img_w, img_h, flow_w, flow_h)
 
     with timer.stage("s1_raft"):
+        device_resize = not getattr(args, "cpu_flow_resize", False)
         flows_f = calculate_flows(models, video_flow, "forward", img_h, img_w,
                                   iters=models.raft_iters,
-                                  chunk=getattr(args, "raft_chunk", 4))
+                                  chunk=getattr(args, "raft_chunk", 4),
+                                  device_resize=device_resize)
         flows_b = calculate_flows(models, video_flow, "backward", img_h, img_w,
                                   iters=models.raft_iters,
-                                  chunk=getattr(args, "raft_chunk", 4))
+                                  chunk=getattr(args, "raft_chunk", 4),
+                                  device_resize=device_resize)
     video = video255 / 255.0
 
     if args.mode == "video_extrapolation":
@@ -579,7 +731,9 @@ def video_inpainting(args) -> str:
         comp_frames = fgt_synthesis(
             models, frames_first, masks_np, videoFlowF,
             neighbor_stride=args.neighbor_stride, step=args.step,
-            num_ref=args.num_ref)
+            num_ref=args.num_ref,
+            exact_windows=getattr(args, "exact_windows", False),
+            window_batch=getattr(args, "window_batch", 4))
 
     with timer.stage("s7_write"):
         os.makedirs(args.outroot, exist_ok=True)
@@ -643,6 +797,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--raft_chunk", type=int, default=4)
     p.add_argument("--raft_iters", type=int, default=20)
     p.add_argument("--lafc_chunk", type=int, default=8)
+    p.add_argument("--window_batch", type=int, default=4,
+                   help="FGT windows per batched forward")
+    p.add_argument("--exact_windows", action="store_true",
+                   help="reproduce the reference's per-window shapes "
+                        "exactly (slower: one variable-shape forward per "
+                        "window)")
+    p.add_argument("--cpu_flow_resize", action="store_true",
+                   help="resize RAFT flows on CPU with cv2 like the "
+                        "reference instead of on-device")
     p.add_argument("--vis_flows", action="store_true")
     p.add_argument("--vis_completed_flows", action="store_true")
     p.add_argument("--vis_prop", action="store_true")
