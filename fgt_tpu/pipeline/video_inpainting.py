@@ -810,6 +810,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vis_completed_flows", action="store_true")
     p.add_argument("--vis_prop", action="store_true")
     p.add_argument("--vis_frame", action="store_true")
+    p.add_argument("--profile", default="",
+                   help="write a jax.profiler trace to this directory")
     return p
 
 
@@ -818,7 +820,10 @@ def main(argv=None):
     args = apply_yaml_over_args(args, args.opt)
     assert args.mode in ("object_removal", "video_extrapolation",
                          "watermark_removal"), args.mode
-    return video_inpainting(args)
+    from fgt_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(args.profile, enabled=bool(args.profile)):
+        return video_inpainting(args)
 
 
 if __name__ == "__main__":
