@@ -1,0 +1,120 @@
+"""ctypes bindings for the native CPU kernels (native/fgt_native.cpp).
+
+The library is auto-built with g++ on first use (one ``make`` invocation);
+every entry point has a pure-Python fallback, so the framework works
+without a toolchain — just slower on the CPU-side stages.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+logger = logging.getLogger("fgt_tpu")
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfgt_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            if os.environ.get("FGT_NO_NATIVE"):
+                return None
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True, timeout=120)
+            except Exception as e:  # no toolchain -> python fallback
+                logger.info("native build unavailable (%s)", e)
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            logger.info("native load failed (%s)", e)
+            return None
+        lib.laplace_fill.restype = ctypes.c_int
+        lib.laplace_fill.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int]
+        lib.diffuse_flows.restype = None
+        lib.diffuse_flows.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int]
+        lib.bilinear_interp.restype = None
+        lib.bilinear_interp.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float)]
+        _lib = lib
+        logger.info("native CPU kernels loaded (%s)", _LIB_PATH)
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def laplace_fill(img: np.ndarray, mask: np.ndarray, tol: float = 1e-7,
+                 max_iter: int = 20000) -> np.ndarray:
+    """In-place Laplace solve on mask pixels (SOR). img: [H, W] float64."""
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.float64)
+    m = np.ascontiguousarray(mask.astype(np.uint8))
+    h, w = img.shape
+    lib.laplace_fill(_ptr(img, ctypes.c_double), _ptr(m, ctypes.c_uint8),
+                     h, w, tol, max_iter)
+    return img
+
+
+def diffuse_flows(flows: np.ndarray, masks: np.ndarray, tol: float = 1e-7,
+                  max_iter: int = 20000) -> np.ndarray:
+    """Batched hole diffusion. flows: [N, H, W, C] f32; masks: [N, H, W]."""
+    lib = _load()
+    assert lib is not None
+    f = np.ascontiguousarray(flows, np.float32)
+    m = np.ascontiguousarray(masks.astype(np.uint8))
+    n, h, w, c = f.shape
+    out = np.empty_like(f)
+    lib.diffuse_flows(_ptr(f, ctypes.c_float), _ptr(m, ctypes.c_uint8),
+                      _ptr(out, ctypes.c_float), n, h, w, c, tol, max_iter)
+    return out
+
+
+def bilinear_interp(img: np.ndarray, xs: np.ndarray,
+                    ys: np.ndarray) -> np.ndarray:
+    """img: [H, W(, C)] f32; xs/ys: flat float coords. Zero outside."""
+    lib = _load()
+    assert lib is not None
+    squeeze = img.ndim == 2
+    im = np.ascontiguousarray(
+        img[..., None] if squeeze else img, np.float32)
+    h, w, c = im.shape
+    x = np.ascontiguousarray(xs.reshape(-1), np.float32)
+    y = np.ascontiguousarray(ys.reshape(-1), np.float32)
+    out = np.empty((x.size, c), np.float32)
+    lib.bilinear_interp(_ptr(im, ctypes.c_float), h, w, c,
+                        _ptr(x, ctypes.c_float), _ptr(y, ctypes.c_float),
+                        x.size, _ptr(out, ctypes.c_float))
+    return out[:, 0] if squeeze else out

@@ -384,7 +384,16 @@ def calculate_flows(models: Models, video: np.ndarray, mode: str,
 
 
 def diffusion(flows: np.ndarray, masks: np.ndarray) -> np.ndarray:
-    """Regionfill both channels of every flow (reference :44-52)."""
+    """Regionfill both channels of every flow (reference :44-52).
+
+    Uses the OpenMP native kernel (parallel across frames x channels) when
+    built; falls back to the per-frame scipy solve."""
+    from fgt_tpu import native
+
+    if native.available():
+        return native.diffuse_flows(
+            flows.astype(np.float32) * (1 - masks[..., :1]),
+            masks[..., 0] > 0).astype(flows.dtype)
     out = np.zeros_like(flows)
     for i in range(flows.shape[0]):
         m = masks[i, :, :, 0]

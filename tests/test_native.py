@@ -1,0 +1,60 @@
+"""Native CPU kernels vs their scipy/numpy reference implementations."""
+
+import numpy as np
+import pytest
+
+from fgt_tpu import native
+from fgt_tpu.core.region_fill import regionfill
+from fgt_tpu.pipeline.propagation import interp
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def test_laplace_fill_matches_sparse_solve():
+    rng = np.random.RandomState(0)
+    img = rng.rand(40, 56)
+    mask = np.zeros((40, 56), bool)
+    mask[10:25, 15:35] = True
+    want = regionfill(img * (1 - mask), mask)
+    got = native.laplace_fill((img * (1 - mask)).astype(np.float64),
+                              mask)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_diffuse_flows_matches_python_loop():
+    rng = np.random.RandomState(1)
+    flows = rng.randn(3, 32, 48, 2).astype(np.float32)
+    masks = np.zeros((3, 32, 48, 1), np.float32)
+    masks[:, 8:20, 10:30] = 1
+    from fgt_tpu.pipeline.video_inpainting import diffusion
+
+    got = native.diffuse_flows(flows * (1 - masks), masks[..., 0] > 0)
+    want = np.zeros_like(flows)
+    for i in range(3):
+        for c in range(2):
+            want[i, :, :, c] = regionfill(flows[i, :, :, c]
+                                          * (1 - masks[i, :, :, 0]),
+                                          masks[i, :, :, 0])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_bilinear_interp_matches_cv2():
+    rng = np.random.RandomState(2)
+    img = rng.rand(30, 40, 3).astype(np.float32)
+    xs = rng.rand(500).astype(np.float32) * 50 - 5  # incl. out of range
+    ys = rng.rand(500).astype(np.float32) * 40 - 5
+    want = interp(img, xs, ys)
+    got = native.bilinear_interp(img, xs, ys)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bilinear_interp_single_channel():
+    rng = np.random.RandomState(3)
+    img = rng.rand(20, 20).astype(np.float32)
+    xs = rng.rand(100).astype(np.float32) * 19
+    ys = rng.rand(100).astype(np.float32) * 19
+    want = interp(img, xs, ys)
+    got = native.bilinear_interp(img, xs, ys)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
