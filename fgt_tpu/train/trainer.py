@@ -271,6 +271,34 @@ class LAFCTrainer(Trainer):
         return ("train_dataset_single_edge" if self.single
                 else "train_dataset_edge")
 
+    def _validate(self, epoch: int) -> None:
+        """Flow-domain validation (reference LAFC network.py:271-373)."""
+        vi = self.val_info or {}
+        flow_root = vi.get("flow_root", vi.get("flow_path"))
+        if not flow_root or not os.path.isdir(flow_root):
+            if self.rank <= 0:
+                self.logger.info("validation skipped: no val flows at %s",
+                                 flow_root)
+            return
+        from fgt_tpu.train.validate import validate_lafc
+
+        scores = validate_lafc(
+            self.model, jax.device_get(self.params), flow_root,
+            num_videos=int(vi.get("num_videos", 10)),
+            resolution=tuple(vi.get("input_resolution",
+                                    self.opt.get("input_resolution",
+                                                 (240, 432)))),
+            mask_size=int(vi.get("flow_mask_rect", 96)),
+            num_flows=int(self.opt.get("num_flows", 3)),
+            interval=int(self.opt.get("flow_interval", 3)),
+            single=self.single)
+        if self.rank <= 0 and scores:
+            self.metrics.write(self.current_step,
+                               {f"val/{k}": v for k, v in scores.items()})
+            self.logger.info("[val epoch %d] %s", epoch,
+                             " ".join(f"{k}:{v:.4f}"
+                                      for k, v in scores.items()))
+
     def _train_step(self, batch: dict) -> dict:
         if self.single:
             # lift 4D single-flow items to a T=1 window for the shared step
@@ -318,6 +346,10 @@ class FGTTrainer(Trainer):
     model_kind = "fgt"
 
     def __init__(self, opt: dict):
+        if str(opt.get("flow_direction", "for")) == "bi":
+            # reference surface preserved (FGT/networks/network.py:106-107)
+            raise NotImplementedError(
+                "Bidirectional flows are not supported yet")
         super().__init__(opt)
         tr = opt["train"]
         self.gen = build_model("model", opt)

@@ -130,3 +130,56 @@ def validate_fgt(gen, g_params, frame_root: str, flow_root: Optional[str],
         return {}
     return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
             "l1": float(np.mean(l1s)), "l2": float(np.mean(l2s))}
+
+
+def validate_lafc(model, params, flow_root: str, num_videos: int = 10,
+                  resolution=(240, 432), mask_size: int = 96,
+                  num_flows: int = 3, interval: int = 3,
+                  single: bool = False) -> dict:
+    """Flow-domain validation (reference LAFC/networks/network.py:271-373):
+    first videos' forward+backward flows, centered square masks, diffusion
+    fill, completion, PSNR/SSIM on flow->RGB + L1/L2 on raw flows."""
+    from fgt_tpu.core.metrics import calculate_flow_metrics
+    from fgt_tpu.pipeline.video_inpainting import indices_gen
+
+    height, width = resolution
+    apply_fn = jax.jit(lambda p, f, m: model.apply(p, f, m))
+    videos = sorted(os.listdir(flow_root))[:num_videos]
+    agg = {"psnr": [], "ssim": [], "l1": [], "l2": []}
+    for video in videos:
+        for direction in ("forward_flo", "backward_flo"):
+            d = os.path.join(flow_root, video, direction)
+            if not os.path.isdir(d):
+                continue
+            files = sorted(glob.glob(os.path.join(d, "*.flo")))
+            if len(files) <= num_flows:
+                continue
+            pivot = min(20, len(files) - 1)
+            ids = indices_gen(pivot, interval, num_flows, len(files))
+            mask = rect_mask(height, width, size=mask_size).astype(
+                np.float32)[..., None]
+            flows, diffused = [], []
+            for i in ids:
+                f = flow_tf(read_flow(files[i]), height, width)
+                flows.append(f)
+                diffused.append(diffusion_fill(f, mask[..., 0]))
+            gt = np.stack(flows).astype(np.float32)
+            din = np.stack(diffused).astype(np.float32)
+            masks = np.repeat(mask[None], len(ids), 0)
+            if single:
+                out = apply_fn(params, jnp.asarray(din[num_flows // 2][None]),
+                               jnp.asarray(masks[num_flows // 2][None]))
+            else:
+                out = apply_fn(params, jnp.asarray(din[None]),
+                               jnp.asarray(masks[None]))
+            out = out[0] if isinstance(out, tuple) else out
+            filled = np.asarray(out)
+            filled = filled.reshape(-1, height, width, 2)
+            target = gt[num_flows // 2][None]
+            comp = (filled * mask + target * (1 - mask))
+            m = calculate_flow_metrics(comp, target)
+            for k in agg:
+                agg[k].append(m[k])
+    if not agg["psnr"]:
+        return {}
+    return {k: float(np.mean(v)) for k, v in agg.items()}

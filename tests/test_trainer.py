@@ -131,3 +131,36 @@ def test_fgt_trainer_end_to_end_and_resume(tmp_path, tree):
                      "--outputdir", str(out), "--finetune", "1",
                      "--gen_state", gens[-1]])
     assert trainer3.current_step == 3
+
+
+def test_fgt_bi_direction_raises(tmp_path, tree):
+    """Reference parity: 'bi' flow direction raises NotImplementedError
+    (FGT/networks/network.py:106-107)."""
+    from fgt_tpu.train.train import main
+
+    cfg_path = tmp_path / "cfg_bi.yaml"
+    extra = dict(FGT_SMALL)
+    extra["flow_direction"] = "bi"
+    _write_cfg(cfg_path, tree, "model", extra)
+    with pytest.raises(NotImplementedError):
+        main(["--opt", str(cfg_path), "--model", "model",
+              "--outputdir", str(tmp_path / "out")])
+
+
+def test_lafc_validation_runs(tmp_path, tree):
+    """Flow-domain validation computes finite metrics on the tiny tree."""
+    import jax
+
+    from fgt_tpu.models.lafc import Model as LAFCModel
+    from fgt_tpu.train.validate import validate_lafc
+
+    cfg = dict(LAFC_SMALL)
+    model = LAFCModel(config=cfg)
+    import jax.numpy as jnp
+
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, H, W, 2)), jnp.zeros((1, 3, H, W, 1)))
+    scores = validate_lafc(model, params, str(tree / "flows"),
+                           num_videos=2, resolution=(H, W), mask_size=12,
+                           num_flows=3, interval=1)
+    assert scores and np.isfinite(scores["psnr"])
