@@ -183,6 +183,26 @@ class Models:
             self.fgt_vars = cast(self.fgt_vars)
             logger.info("bf16 inference enabled")
 
+        # multi-chip serving: shard the batched window/pair axis over a dp
+        # mesh (params + video replicated; XLA partitions the stage fns)
+        self.mesh = None
+        if getattr(args, "dp", False) and len(jax.devices()) > 1:
+            from fgt_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+            logger.info("dp inference over %d devices",
+                        self.mesh.devices.size)
+
+    def shard_chunk(self, ids):
+        """Place a window-index chunk with its batch axis dp-sharded
+        (replicated when the chunk doesn't divide the mesh)."""
+        ids = jnp.asarray(ids)
+        if self.mesh is None or ids.shape[0] % self.mesh.devices.size:
+            return ids
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(ids, NamedSharding(self.mesh, P("dp")))
+
     def _load(self, args, attr, default_cfg, kind):
         ckpt_dir = getattr(args, attr, None)
         config = dict(default_cfg)
@@ -360,8 +380,8 @@ def calculate_flows(models: Models, video: np.ndarray, mode: str,
                 sel = np.concatenate([sel, np.repeat(sel[-1:],
                                                      chunk - (hi - lo))])
             out = np.asarray(models.raft_pairs_fn(
-                models.raft_vars, video_u8, jnp.asarray(s_idx[sel]),
-                jnp.asarray(d_idx[sel]), iters, img_h, img_w))
+                models.raft_vars, video_u8, models.shard_chunk(s_idx[sel]),
+                models.shard_chunk(d_idx[sel]), iters, img_h, img_w))
             flows.append(out[:hi - lo])
         return np.concatenate(flows, axis=0)
 
@@ -431,7 +451,7 @@ def complete_flows(models: Models, flows: np.ndarray, flow_masks: np.ndarray,
                                                  chunk - (hi - lo), 0)], 0)
         out = np.asarray(models.lafc_window_fn(
             models.lafc_vars, diffused_dev, masks_dev, flows_dev,
-            jnp.asarray(sel)))
+            models.shard_chunk(sel)))
         outs.append(out[:hi - lo])
     return np.concatenate(outs, 0)  # [t, H, W, 2], already composited
 
@@ -545,7 +565,7 @@ def fgt_synthesis(models: Models, frames: np.ndarray, masks: np.ndarray,
                 [sel, np.repeat(sel[-1:], window_batch - (hi - lo), 0)], 0)
         out = np.asarray(models.fgt_window_fn(
             models.fgt_vars, video_u8, masks_u8, flows_dev,
-            jnp.asarray(sel)))
+            models.shard_chunk(sel)))
         for w in range(hi - lo):
             composite(out[w], window_neighbors[lo + w])
     return list(comp_frames)
@@ -667,15 +687,16 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     logger.info("loaded %d frames at %dx%d (flow at %dx%d)", n_frames,
                 img_w, img_h, flow_w, flow_h)
 
+    # under --dp, chunk sizes scale to the mesh so batches stay shardable
+    ndev = models.mesh.devices.size if models.mesh is not None else 1
+    raft_chunk = max(getattr(args, "raft_chunk", 4), ndev)
     with timer.stage("s1_raft"):
         device_resize = not getattr(args, "cpu_flow_resize", False)
         flows_f = calculate_flows(models, video_flow, "forward", img_h, img_w,
-                                  iters=models.raft_iters,
-                                  chunk=getattr(args, "raft_chunk", 4),
+                                  iters=models.raft_iters, chunk=raft_chunk,
                                   device_resize=device_resize)
         flows_b = calculate_flows(models, video_flow, "backward", img_h, img_w,
-                                  iters=models.raft_iters,
-                                  chunk=getattr(args, "raft_chunk", 4),
+                                  iters=models.raft_iters, chunk=raft_chunk,
                                   device_resize=device_resize)
     video = video255 / 255.0
 
@@ -696,9 +717,9 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     with timer.stage("s2_lafc"):
         fm = flow_mask[..., None].astype(np.float32)
         videoFlowF = complete_flows(models, flows_f, fm, "forward",
-                                    chunk=getattr(args, "lafc_chunk", 8))
+                                    chunk=max(getattr(args, "lafc_chunk", 8), ndev))
         videoFlowB = complete_flows(models, flows_b, fm, "backward",
-                                    chunk=getattr(args, "lafc_chunk", 8))
+                                    chunk=max(getattr(args, "lafc_chunk", 8), ndev))
     logger.info("flow completion done")
 
     if getattr(args, "vis_completed_flows", False):
@@ -758,7 +779,7 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
             neighbor_stride=args.neighbor_stride, step=args.step,
             num_ref=args.num_ref,
             exact_windows=getattr(args, "exact_windows", False),
-            window_batch=getattr(args, "window_batch", 4))
+            window_batch=max(getattr(args, "window_batch", 4), ndev))
 
     with timer.stage("s7_write"):
         os.makedirs(args.outroot, exist_ok=True)
@@ -837,6 +858,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vis_frame", action="store_true")
     p.add_argument("--profile", default="",
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--dp", action="store_true",
+                   help="shard batched stage calls over all local "
+                        "devices (multi-chip serving)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 params + activations on TPU (~2x RAFT; "
                         "validate quality before publication runs)")
