@@ -62,8 +62,9 @@ class FGTConfig:
     gd: int = 4                    # global token downsample stride
     input_resolution: Tuple[int, int] = (240, 432)
     use_flash: bool = False        # fused Pallas temporal attention
-                                   # (inference-only until the custom VJP
-                                   # lands; training uses XLA attention)
+                                   # (differentiable: Pallas dq/dkv custom
+                                   # VJP; off by default so CPU tests use
+                                   # the XLA path)
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "FGTConfig":

@@ -52,7 +52,7 @@ class TMHSA(nn.Module):
     group_size: int
     num_heads: int
     dropout: float = 0.0
-    use_flash: bool = False   # fused Pallas attention (inference; no VJP yet)
+    use_flash: bool = False   # fused Pallas attention (fwd + custom VJP)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: int, h: int, w: int,

@@ -48,3 +48,30 @@ def test_tmhsa_flash_equals_xla():
     a = np.asarray(m_xla.apply(params, x, t, h, w))
     b = np.asarray(m_fl.apply(params, x, t, h, w))
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_vjp_matches_xla_gradients():
+    """Flash backward (Pallas dq/dkv kernels) vs autodiff through the XLA
+    attention, including a non-multiple-of-block L."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    n, l, ch = 2, 200, 64
+    q = jnp.asarray(rng.randn(n, l, ch).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, l, ch).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, l, ch).astype(np.float32))
+    scale = 1.0 / np.sqrt(ch)
+    cot = jnp.asarray(rng.randn(n, l, ch).astype(np.float32))
+
+    def ref_loss(q, k, v):
+        return jnp.sum(_attend(q, k, v, scale) * cot)
+
+    def flash_loss(q, k, v):
+        return jnp.sum(flash_mhsa(q, k, v, scale=scale, interpret=True)
+                       * cot)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=3e-4)
