@@ -180,14 +180,29 @@ def get_flownn_gradient(cfg: PropagationConfig,
     video_flow_f/b: [H, W, 2, N-1].
 
     Returns (gradient_x, gradient_y, mask_tofill).
+
+    The sequential directional chaining runs as a jitted lax.scan on the
+    accelerator when one is present (propagation_tpu; parity-tested
+    against this module's numpy pass); chain sampling and fusion stay on
+    the host.
     """
     H, W, N = mask.shape
 
+    dir_pass = _directional_pass
+    try:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            from fgt_tpu.pipeline.propagation_tpu import directional_pass_tpu
+            dir_pass = directional_pass_tpu
+    except Exception:  # pragma: no cover - jax always present in this repo
+        pass
+
     # pass 1: BN chains via backward flows
-    have_bn, bx, by, bt, cons_bn = _directional_pass(
+    have_bn, bx, by, bt, cons_bn = dir_pass(
         mask, video_flow_b, video_flow_f, N, forward=True, cfg=cfg)
     # pass 2: FN chains via forward flows
-    have_fn, fx, fy, ft, cons_fn = _directional_pass(
+    have_fn, fx, fy, ft, cons_fn = dir_pass(
         mask, video_flow_f, video_flow_b, N, forward=False, cfg=cfg)
 
     gx_bn = _sample_chains(gradient_x, have_bn, bx, by, bt, mask, forward=True)
