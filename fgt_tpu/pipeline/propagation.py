@@ -181,22 +181,20 @@ def get_flownn_gradient(cfg: PropagationConfig,
 
     Returns (gradient_x, gradient_y, mask_tofill).
 
-    The sequential directional chaining runs as a jitted lax.scan on the
-    accelerator when one is present (propagation_tpu; parity-tested
-    against this module's numpy pass); chain sampling and fusion stay on
-    the host.
+    A lax.scan device implementation of the directional chaining exists
+    (propagation_tpu, parity-tested) but measured 20x SLOWER than this
+    vectorized numpy pass at 432x240 (per-frame scalar gathers + state
+    fetches dominate on TPU), so the host path stays the default. Set
+    ``FGT_PROP_DEVICE=1`` to use it anyway (e.g. to keep the host free).
     """
+    import os
+
     H, W, N = mask.shape
 
     dir_pass = _directional_pass
-    try:
-        import jax
-
-        if jax.default_backend() != "cpu":
-            from fgt_tpu.pipeline.propagation_tpu import directional_pass_tpu
-            dir_pass = directional_pass_tpu
-    except Exception:  # pragma: no cover - jax always present in this repo
-        pass
+    if os.environ.get("FGT_PROP_DEVICE"):
+        from fgt_tpu.pipeline.propagation_tpu import directional_pass_tpu
+        dir_pass = directional_pass_tpu
 
     # pass 1: BN chains via backward flows
     have_bn, bx, by, bt, cons_bn = dir_pass(
