@@ -172,3 +172,96 @@ def rect_mask(height: int, width: int, size: int = 96,
     y0, x0 = max(0, cy - size // 2), max(0, cx - size // 2)
     m[y0: y0 + size, x0: x0 + size] = 255
     return m
+
+
+# ---------------- auxiliary generators (FVI heritage) ----------------
+# Behavioral parity with the reference's aux mask library
+# (FGT/data/util/mask_generators.py:6-217, freeform_masks.py:14-266):
+# free-form moving brush strokes and random bounding boxes, used for
+# benchmark mask preparation rather than the training loop.
+
+def _random_stroke_points(rng, w, h, n_vertex_bound=(10, 30),
+                          max_head_speed=15, max_head_acc=(15, 0.5),
+                          border_gap=None):
+    n = rng.randint(n_vertex_bound[0], n_vertex_bound[1] + 1)
+    gx = border_gap if border_gap else 0
+    x = rng.randint(gx, w - gx) if w - 2 * gx > 0 else w // 2
+    y = rng.randint(gx, h - gx) if h - 2 * gx > 0 else h // 2
+    speed = rng.uniform(0, max_head_speed)
+    angle = rng.uniform(0, 2 * math.pi)
+    pts = [(x, y)]
+    for _ in range(n - 1):
+        speed = np.clip(speed + rng.uniform(-max_head_acc[0],
+                                            max_head_acc[0]),
+                        0, max_head_speed)
+        angle += rng.uniform(-max_head_acc[1], max_head_acc[1])
+        x = int(np.clip(x + speed * math.cos(angle), 0, w - 1))
+        y = int(np.clip(y + speed * math.sin(angle), 0, h - 1))
+        pts.append((x, y))
+    return pts
+
+
+def get_video_masks_by_moving_random_stroke(
+        video_len: int, imageWidth: int = 320, imageHeight: int = 180,
+        nStroke: int = 5, nVertexBound=(10, 30), maxHeadSpeed: float = 15,
+        maxHeadAcceleration=(15, 0.5), brushWidthBound=(5, 20),
+        boarderGap=None, nMovePointRatio: float = 0.5, maxPiontMove: int = 10,
+        maxLineAcceleration: float = 5, maxInitSpeed: float = 5,
+        seed=None) -> list[np.ndarray]:
+    """Free-form moving brush-stroke masks (255 = hole), one per frame."""
+    rng = np.random.RandomState(seed)
+    strokes = []
+    for _ in range(nStroke):
+        pts = _random_stroke_points(rng, imageWidth, imageHeight,
+                                    nVertexBound, maxHeadSpeed,
+                                    maxHeadAcceleration, boarderGap)
+        width = rng.randint(brushWidthBound[0], brushWidthBound[1] + 1)
+        vel = get_random_velocity(maxInitSpeed)
+        strokes.append({"pts": pts, "width": width, "vel": vel})
+
+    masks = []
+    for _ in range(video_len):
+        m = np.zeros((imageHeight, imageWidth), np.uint8)
+        for s in strokes:
+            pts = np.asarray(s["pts"], np.int32)
+            for a, b in zip(pts[:-1], pts[1:]):
+                cv2.line(m, tuple(a), tuple(b), 255, s["width"])
+        masks.append(m)
+        # move each stroke for the next frame
+        for s in strokes:
+            speed, angle = s["vel"]
+            dx = int(speed * math.cos(angle))
+            dy = int(speed * math.sin(angle))
+            new_pts = []
+            for (x, y) in s["pts"]:
+                if random.uniform(0, 1) < nMovePointRatio:
+                    x += random.randint(-maxPiontMove, maxPiontMove)
+                    y += random.randint(-maxPiontMove, maxPiontMove)
+                new_pts.append((int(np.clip(x + dx, 0, imageWidth - 1)),
+                                int(np.clip(y + dy, 0, imageHeight - 1))))
+            s["pts"] = new_pts
+            s["vel"] = _random_accelerate((speed, angle),
+                                          (maxLineAcceleration, 0.5))
+    return masks
+
+
+def get_masked_ratio(mask: np.ndarray) -> float:
+    """Hole fraction of a mask (reference utils.py helper)."""
+    m = np.asarray(mask)
+    return float((m > 0).mean())
+
+
+def bbox_mask(height: int, width: int, rng=None,
+              margin_ratio: float = 0.1,
+              size_ratio=(0.3, 0.5)) -> np.ndarray:
+    """Random rectangular hole (reference MaskModel bbox masks)."""
+    rng = rng or np.random.RandomState()
+    bh = int(height * rng.uniform(*size_ratio))
+    bw = int(width * rng.uniform(*size_ratio))
+    my = int(height * margin_ratio)
+    mx = int(width * margin_ratio)
+    y = rng.randint(my, max(height - bh - my, my + 1))
+    x = rng.randint(mx, max(width - bw - mx, mx + 1))
+    m = np.zeros((height, width), np.uint8)
+    m[y:y + bh, x:x + bw] = 255
+    return m

@@ -128,3 +128,26 @@ def test_flow_edge_outputs():
     gray, e = edge.flow_edge(flow)
     assert gray.shape == (32, 32) and gray.max() <= 1.0 + 1e-6
     assert e.shape == (32, 32)
+
+
+def test_stroke_masks_move_and_cover():
+    from fgt_tpu.core.masks import (get_masked_ratio,
+                                    get_video_masks_by_moving_random_stroke)
+
+    masks = get_video_masks_by_moving_random_stroke(
+        video_len=4, imageWidth=96, imageHeight=64, nStroke=3, seed=0)
+    assert len(masks) == 4
+    assert all(m.shape == (64, 96) for m in masks)
+    assert all(0 < get_masked_ratio(m) < 1 for m in masks)
+    # strokes move between frames
+    assert (masks[0] != masks[-1]).any()
+
+
+def test_bbox_mask_bounds():
+    import numpy as np
+
+    from fgt_tpu.core.masks import bbox_mask
+
+    m = bbox_mask(64, 96, rng=np.random.RandomState(1))
+    assert m.shape == (64, 96)
+    assert set(np.unique(m)) == {0, 255}
