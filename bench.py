@@ -25,6 +25,9 @@ import numpy as np
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "24"))
 IMG_H, IMG_W = 240, 432
+# per-stage FLOPs/MFU accounting (one extra AOT compile per jitted
+# signature during the cold pass; warm passes reuse the cached cost)
+os.environ.setdefault("FGT_COSTS", "1")
 
 
 def make_synthetic_data(root: str, n: int = N_FRAMES,
@@ -71,8 +74,8 @@ def run_pipeline(frames_dir: str, masks_dir: str, outroot: str, models=None):
     out_path = video_inpainting(args, models=models)
     wall = time.perf_counter() - t0
     with open(os.path.join(outroot, "timings.jsonl")) as f:
-        stages = json.loads(f.readlines()[-1])["stages"]
-    return out_path, wall, stages
+        rec = json.loads(f.readlines()[-1])
+    return out_path, wall, rec["stages"], rec.get("costs", {})
 
 
 def main():
@@ -94,13 +97,13 @@ def main():
         n_warm = int(os.environ.get("BENCH_WARM_RUNS", "3"))
         best = None
         for i in range(n_warm):
-            out_path, wall, stages_i = run_pipeline(
+            out_path, wall, stages_i, costs_i = run_pipeline(
                 frames_dir, masks_dir, os.path.join(root, f"out_warm{i}"),
                 models=models)
             assert os.path.exists(out_path)
             if best is None or wall < best[0]:
-                best = (wall, stages_i)
-        wall, stages = best
+                best = (wall, stages_i, costs_i)
+        wall, stages, costs = best
 
         fps = N_FRAMES / wall
         baseline_fps = 0.0
@@ -117,6 +120,12 @@ def main():
             "vs_baseline": round(vs, 3),
             "n_frames": N_FRAMES,
             "stages_s": {k: round(v, 2) for k, v in stages.items()},
+            # per-TPU-stage model FLOP utilization (XLA cost analysis /
+            # stage wall / chip peak; see fgt_tpu/utils/costs.py)
+            "mfu": {k: round(v["mfu"], 4) for k, v in costs.items()
+                    if "mfu" in v},
+            "tflops_per_s": {k: round(v.get("tflops_per_s", 0.0), 2)
+                             for k, v in costs.items()},
         }
         print(json.dumps(rec))
     finally:

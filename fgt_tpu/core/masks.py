@@ -67,26 +67,28 @@ def get_random_shape(edge_num: int = 9, ratio: float = 0.7,
     return region[ys.min(): ys.max() + 1, xs.min(): xs.max() + 1]
 
 
-def get_random_velocity(max_speed: float = 3, dist: str = "uniform"):
+def get_random_velocity(max_speed: float = 3, dist: str = "uniform",
+                        rng=np.random):
     if dist == "uniform":
-        speed = np.random.uniform(max_speed)
+        speed = rng.uniform(max_speed)
     elif dist == "guassian":  # sic — reference spelling
-        speed = np.abs(np.random.normal(0, max_speed / 2))
+        speed = np.abs(rng.normal(0, max_speed / 2))
     else:
         raise NotImplementedError(f"Distribution type {dist} is not supported.")
-    angle = np.random.uniform(0, 2 * np.pi)
+    angle = rng.uniform(0, 2 * np.pi)
     return (speed, angle)
 
 
-def _random_accelerate(velocity, max_acceleration, dist="uniform"):
+def _random_accelerate(velocity, max_acceleration, dist="uniform",
+                       rng=np.random):
     speed, angle = velocity
     d_speed, d_angle = max_acceleration
     if dist == "uniform":
-        speed += np.random.uniform(-d_speed, d_speed)
-        angle += np.random.uniform(-d_angle, d_angle)
+        speed += rng.uniform(-d_speed, d_speed)
+        angle += rng.uniform(-d_angle, d_angle)
     elif dist == "guassian":
-        speed += np.random.normal(0, d_speed / 2)
-        angle += np.random.normal(0, d_angle / 2)
+        speed += rng.normal(0, d_speed / 2)
+        angle += rng.normal(0, d_angle / 2)
     else:
         raise NotImplementedError(f"Distribution type {dist} is not supported.")
     return (speed, angle)
@@ -216,7 +218,7 @@ def get_video_masks_by_moving_random_stroke(
                                     nVertexBound, maxHeadSpeed,
                                     maxHeadAcceleration, boarderGap)
         width = rng.randint(brushWidthBound[0], brushWidthBound[1] + 1)
-        vel = get_random_velocity(maxInitSpeed)
+        vel = get_random_velocity(maxInitSpeed, rng=rng)
         strokes.append({"pts": pts, "width": width, "vel": vel})
 
     masks = []
@@ -234,14 +236,17 @@ def get_video_masks_by_moving_random_stroke(
             dy = int(speed * math.sin(angle))
             new_pts = []
             for (x, y) in s["pts"]:
-                if random.uniform(0, 1) < nMovePointRatio:
-                    x += random.randint(-maxPiontMove, maxPiontMove)
-                    y += random.randint(-maxPiontMove, maxPiontMove)
+                # seeded rng (not the global random module) so a fixed
+                # seed reproduces the mask sequence exactly
+                if rng.uniform(0, 1) < nMovePointRatio:
+                    x += rng.randint(-maxPiontMove, maxPiontMove + 1)
+                    y += rng.randint(-maxPiontMove, maxPiontMove + 1)
                 new_pts.append((int(np.clip(x + dx, 0, imageWidth - 1)),
                                 int(np.clip(y + dy, 0, imageHeight - 1))))
             s["pts"] = new_pts
             s["vel"] = _random_accelerate((speed, angle),
-                                          (maxLineAcceleration, 0.5))
+                                          (maxLineAcceleration, 0.5),
+                                          rng=rng)
     return masks
 
 

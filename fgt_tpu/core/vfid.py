@@ -194,10 +194,16 @@ class VFIDScorer:
         """video: [T, H, W, 3] uint8/float in [0, 255]."""
         v = np.asarray(video, np.float32) / 127.5 - 1.0
         t = v.shape[0]
+        starts = list(range(0, max(t - self.clip_len + 1, 1),
+                            self.clip_len))
+        # cover the tail: a video not a multiple of clip_len gets a final
+        # clip ending at the last frame (overlapping the previous clip)
+        if t > self.clip_len and starts[-1] + self.clip_len < t:
+            starts.append(t - self.clip_len)
         clips = []
-        for s in range(0, max(t - self.clip_len + 1, 1), self.clip_len):
+        for s in starts:
             clip = v[s:s + self.clip_len]
-            if clip.shape[0] < self.clip_len:  # reflect-pad short tails
+            if clip.shape[0] < self.clip_len:  # tile short videos
                 reps = -(-self.clip_len // clip.shape[0])
                 clip = np.concatenate([clip] * reps, 0)[:self.clip_len]
             clips.append(clip)

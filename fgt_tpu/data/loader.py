@@ -46,7 +46,10 @@ class ShardedSampler:
             rng.shuffle(order)
         per_shard = len(self)
         total = per_shard * self.num_shards
-        padded = np.concatenate([order, order[: total - self.num_samples]])
+        # tile (np.resize repeats the order) so every shard gets exactly
+        # per_shard items even when num_samples < num_shards — matching
+        # torch DistributedSampler, keeping per-host batch counts in sync
+        padded = np.resize(order, total)
         return iter(padded[self.shard::self.num_shards].tolist())
 
 

@@ -62,6 +62,24 @@ def _load():
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float)]
+        if not hasattr(lib, "flownn_pass"):  # stale build of an older .so
+            subprocess.run(["make", "-C", _NATIVE_DIR, "clean", "all"],
+                           check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
+        lib.flownn_pass.restype = None
+        lib.flownn_pass.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+        lib.flownn_sample.restype = None
+        lib.flownn_sample.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _lib = lib
         logger.info("native CPU kernels loaded (%s)", _LIB_PATH)
         return _lib
@@ -100,6 +118,53 @@ def diffuse_flows(flows: np.ndarray, masks: np.ndarray, tol: float = 1e-7,
     lib.diffuse_flows(_ptr(f, ctypes.c_float), _ptr(m, ctypes.c_uint8),
                       _ptr(out, ctypes.c_float), n, h, w, c, tol, max_iter)
     return out
+
+
+def flownn_pass(mask: np.ndarray, flow_follow: np.ndarray,
+                flow_check: np.ndarray, forward: bool, thres: float):
+    """One directional flowNN chaining pass (native, single call).
+
+    mask: [N, H, W] uint8; flow_follow/flow_check: [N-1, H, W, 2] f32.
+    Returns (have u8, nn_x f32, nn_y f32, nn_t i32, cons_u f32, cons_v f32),
+    each [N, H, W]."""
+    lib = _load()
+    assert lib is not None
+    m = np.ascontiguousarray(mask, np.uint8)
+    ff = np.ascontiguousarray(flow_follow, np.float32)
+    fc = np.ascontiguousarray(flow_check, np.float32)
+    n, h, w = m.shape
+    have = np.zeros((n, h, w), np.uint8)
+    nn_x = np.zeros((n, h, w), np.float32)
+    nn_y = np.zeros((n, h, w), np.float32)
+    nn_t = np.full((n, h, w), -1, np.int32)
+    cons_u = np.zeros((n, h, w), np.float32)
+    cons_v = np.zeros((n, h, w), np.float32)
+    lib.flownn_pass(_ptr(m, ctypes.c_uint8), _ptr(ff, ctypes.c_float),
+                    _ptr(fc, ctypes.c_float), int(forward), n, h, w,
+                    float(thres), _ptr(have, ctypes.c_uint8),
+                    _ptr(nn_x, ctypes.c_float), _ptr(nn_y, ctypes.c_float),
+                    _ptr(nn_t, ctypes.c_int32), _ptr(cons_u, ctypes.c_float),
+                    _ptr(cons_v, ctypes.c_float))
+    return have, nn_x, nn_y, nn_t, cons_u, cons_v
+
+
+def flownn_sample(grad: np.ndarray, have: np.ndarray, nn_x: np.ndarray,
+                  nn_y: np.ndarray, nn_t: np.ndarray,
+                  forward: bool) -> np.ndarray:
+    """Chain-endpoint sampling. grad: [N, H, W, C] f32 (copied, returned
+    filled); have/nn_*: the flownn_pass outputs."""
+    lib = _load()
+    assert lib is not None
+    g = np.array(grad, np.float32, copy=True, order="C")
+    hv = np.ascontiguousarray(have, np.uint8)
+    nx = np.ascontiguousarray(nn_x, np.float32)
+    ny = np.ascontiguousarray(nn_y, np.float32)
+    nt = np.ascontiguousarray(nn_t, np.int32)
+    n, h, w, c = g.shape
+    lib.flownn_sample(_ptr(g, ctypes.c_float), _ptr(hv, ctypes.c_uint8),
+                      _ptr(nx, ctypes.c_float), _ptr(ny, ctypes.c_float),
+                      _ptr(nt, ctypes.c_int32), int(forward), n, h, w, c)
+    return g
 
 
 def bilinear_interp(img: np.ndarray, xs: np.ndarray,

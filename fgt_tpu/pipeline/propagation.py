@@ -170,63 +170,180 @@ def _sample_chains(gradient, have, nn_x, nn_y, nn_t, mask, forward):
     return out
 
 
+def _run_passes(mask, video_flow_f, video_flow_b, cfg):
+    """Both directional chaining passes; native OpenMP kernels when built
+    (single-call, no dense per-frame remaps), numpy otherwise. Returns
+    ((have, nn_x, nn_y, nn_t, cons) for BN, same for FN), [H, W, N] each."""
+    import os
+
+    N = mask.shape[2]
+    if os.environ.get("FGT_PROP_DEVICE"):
+        from fgt_tpu.pipeline.propagation_tpu import directional_pass_tpu
+        bn = directional_pass_tpu(mask, video_flow_b, video_flow_f, N,
+                                  forward=True, cfg=cfg)
+        fn = directional_pass_tpu(mask, video_flow_f, video_flow_b, N,
+                                  forward=False, cfg=cfg)
+        return bn, fn
+
+    from fgt_tpu import native
+    if native.available() and not os.environ.get("FGT_PROP_NUMPY"):
+        mask_n = np.ascontiguousarray(mask.transpose(2, 0, 1), np.uint8)
+        vf = np.ascontiguousarray(video_flow_f.transpose(3, 0, 1, 2),
+                                  np.float32)
+        vb = np.ascontiguousarray(video_flow_b.transpose(3, 0, 1, 2),
+                                  np.float32)
+        out = []
+        for follow, check, fwd in ((vb, vf, True), (vf, vb, False)):
+            have, nx, ny, nt, cu, cv_ = native.flownn_pass(
+                mask_n, follow, check, fwd, cfg.consistency_thres)
+            out.append((
+                have.transpose(1, 2, 0).astype(bool),
+                nx.transpose(1, 2, 0), ny.transpose(1, 2, 0),
+                nt.transpose(1, 2, 0),
+                np.sqrt(cu * cu + cv_ * cv_).transpose(1, 2, 0)))
+        return out[0], out[1]
+
+    bn = _directional_pass(mask, video_flow_b, video_flow_f, N,
+                           forward=True, cfg=cfg)
+    fn = _directional_pass(mask, video_flow_f, video_flow_b, N,
+                           forward=False, cfg=cfg)
+    return bn, fn
+
+
+def _sample(gradient, have, nn_x, nn_y, nn_t, mask, forward):
+    """Chain sampling — native bucketed kernel when built, numpy scan
+    otherwise. gradient [H, W, C, N] -> filled copy, same layout."""
+    import os
+
+    from fgt_tpu import native
+    if native.available() and not os.environ.get("FGT_PROP_NUMPY") \
+            and not os.environ.get("FGT_PROP_DEVICE"):
+        g = np.ascontiguousarray(gradient.transpose(3, 0, 1, 2), np.float32)
+        out = native.flownn_sample(
+            g, np.ascontiguousarray(have.transpose(2, 0, 1), np.uint8),
+            np.ascontiguousarray(nn_x.transpose(2, 0, 1), np.float32),
+            np.ascontiguousarray(nn_y.transpose(2, 0, 1), np.float32),
+            np.ascontiguousarray(nn_t.transpose(2, 0, 1), np.int32),
+            forward)
+        return out.transpose(1, 2, 3, 0).astype(gradient.dtype)
+    return _sample_chains(gradient, have, nn_x, nn_y, nn_t, mask, forward)
+
+
+_KEY_FRAMES = lambda N: (0, N // 2, N - 1)  # noqa: E731
+
+
+def _nonlocal_frame(t, mask, nl_flow_f, nl_flow_b, gradient_x, gradient_y,
+                    cfg):
+    """Non-local key-source candidates for frame ``t`` (reference
+    ``tool/utils/common_utils.py:332-417`` + dense consistency maps at
+    ``tool/get_flowNN_gradient.py:441-461``). Samples the EVOLVING
+    gradient arrays — key frame 0 has already been fused when t > 0,
+    matching the reference's in-place update order.
+
+    nl_flow_f/b: [H, W, 2, 3, N] — flow from t to key k / key k to t.
+    Returns (have [H,W,3] bool, cons [H,W,3], gx_k, gy_k [H,W,C,3])."""
+    H, W, N = mask.shape
+    keys = _KEY_FRAMES(N)
+    hy, hx = np.nonzero(mask[:, :, t])
+    have = np.zeros((H, W, 3), bool)
+    cons = np.zeros((H, W, 3), np.float64)
+    C = gradient_x.shape[2]
+    gx_k = np.zeros((H, W, C, 3), gradient_x.dtype)
+    gy_k = np.zeros((H, W, C, 3), gradient_y.dtype)
+    for k, key in enumerate(keys):
+        ff = nl_flow_f[:, :, :, k, t]
+        fb = nl_flow_b[:, :, :, k, t]
+        err, _ = consist_check(fb, ff)
+        cons[:, :, k] = err
+        gx_k[:, :, :, k] = gradient_x[:, :, :, t]
+        gy_k[:, :, :, k] = gradient_y[:, :, :, t]
+        if hy.size == 0:
+            continue
+        tx = hx + ff[hy, hx, 0]
+        ty = hy + ff[hy, hx, 1]
+        bu = interp(fb[:, :, 0], tx, ty)
+        bv = interp(fb[:, :, 1], tx, ty)
+        diff = np.sqrt((ty + bv - hy) ** 2 + (tx + bu - hx) ** 2)
+        tyi = np.round(ty).astype(np.int64)
+        txi = np.round(tx).astype(np.int64)
+        valid = (tyi >= 0) & (tyi < H - 1) & (txi >= 0) & (txi < W - 1)
+        sel = valid & (diff < cfg.consistency_thres)
+        sel[sel] &= mask[tyi[sel], txi[sel], key] == 0
+        if not sel.any():
+            continue
+        sy, sx = hy[sel], hx[sel]
+        have[sy, sx, k] = True
+        gx_k[sy, sx, :, k] = interp(gradient_x[:, :, :, key],
+                                    tx[sel], ty[sel])
+        gy_k[sy, sx, :, k] = interp(gradient_y[:, :, :, key],
+                                    tx[sel], ty[sel])
+    return have, cons, gx_k, gy_k
+
+
 def get_flownn_gradient(cfg: PropagationConfig,
                         gradient_x: np.ndarray, gradient_y: np.ndarray,
                         mask: np.ndarray, mask_gradient: np.ndarray,
-                        video_flow_f: np.ndarray, video_flow_b: np.ndarray):
+                        video_flow_f: np.ndarray, video_flow_b: np.ndarray,
+                        nonlocal_flow_f: np.ndarray | None = None,
+                        nonlocal_flow_b: np.ndarray | None = None):
     """Main entry. Shapes follow the reference:
 
     gradient_x/y: [H, W, 3, N]; mask, mask_gradient: [H, W, N] bool;
-    video_flow_f/b: [H, W, 2, N-1].
+    video_flow_f/b: [H, W, 2, N-1];
+    nonlocal_flow_f/b (``--Nonlocal``): [H, W, 2, 3, N].
 
     Returns (gradient_x, gradient_y, mask_tofill).
 
-    A lax.scan device implementation of the directional chaining exists
-    (propagation_tpu, parity-tested) but measured 20x SLOWER than this
-    vectorized numpy pass at 432x240 (per-frame scalar gathers + state
-    fetches dominate on TPU), so the host path stays the default. Set
-    ``FGT_PROP_DEVICE=1`` to use it anyway (e.g. to keep the host free).
+    Backend selection: the native OpenMP kernels (native/fgt_native.cpp
+    flownn_pass/flownn_sample) are the default — one C call per pass, no
+    dense per-frame remaps, hole pixels bucketed by endpoint frame.
+    ``FGT_PROP_NUMPY=1`` forces the vectorized numpy path (always
+    available); ``FGT_PROP_DEVICE=1`` the lax.scan device twin (measured
+    20x slower at 432x240 — per-frame scalar gathers dominate on TPU —
+    but keeps the host free).
     """
-    import os
-
     H, W, N = mask.shape
+    use_nl = nonlocal_flow_f is not None
 
-    dir_pass = _directional_pass
-    if os.environ.get("FGT_PROP_DEVICE"):
-        from fgt_tpu.pipeline.propagation_tpu import directional_pass_tpu
-        dir_pass = directional_pass_tpu
+    (have_bn, bx, by, bt, cons_bn), (have_fn, fx, fy, ft, cons_fn) = \
+        _run_passes(mask, video_flow_f, video_flow_b, cfg)
 
-    # pass 1: BN chains via backward flows
-    have_bn, bx, by, bt, cons_bn = dir_pass(
-        mask, video_flow_b, video_flow_f, N, forward=True, cfg=cfg)
-    # pass 2: FN chains via forward flows
-    have_fn, fx, fy, ft, cons_fn = dir_pass(
-        mask, video_flow_f, video_flow_b, N, forward=False, cfg=cfg)
-
-    gx_bn = _sample_chains(gradient_x, have_bn, bx, by, bt, mask, forward=True)
-    gy_bn = _sample_chains(gradient_y, have_bn, bx, by, bt, mask, forward=True)
-    gx_fn = _sample_chains(gradient_x, have_fn, fx, fy, ft, mask, forward=False)
-    gy_fn = _sample_chains(gradient_y, have_fn, fx, fy, ft, mask, forward=False)
+    gx_bn = _sample(gradient_x, have_bn, bx, by, bt, mask, forward=True)
+    gy_bn = _sample(gradient_y, have_bn, bx, by, bt, mask, forward=True)
+    gx_fn = _sample(gradient_x, have_fn, fx, fy, ft, mask, forward=False)
+    gy_fn = _sample(gradient_y, have_fn, fx, fy, ft, mask, forward=False)
 
     gradient_x = gradient_x.copy()
     gradient_y = gradient_y.copy()
     mask_tofill = np.zeros((H, W, N), dtype=bool)
 
     for t in range(N):
-        have = np.stack([have_bn[:, :, t], have_fn[:, :, t]], axis=2)
+        have_list = [have_bn[:, :, t], have_fn[:, :, t]]
+        cons_list = [cons_bn[:, :, t], cons_fn[:, :, t]]
+        gx_list = [gx_bn[:, :, :, t], gx_fn[:, :, :, t]]
+        gy_list = [gy_bn[:, :, :, t], gy_fn[:, :, :, t]]
+        if use_nl:
+            have_k, cons_k, gx_k, gy_k = _nonlocal_frame(
+                t, mask, nonlocal_flow_f, nonlocal_flow_b,
+                gradient_x, gradient_y, cfg)
+            for k in range(3):
+                have_list.append(have_k[:, :, k])
+                cons_list.append(cons_k[:, :, k])
+                gx_list.append(gx_k[:, :, :, k])
+                gy_list.append(gy_k[:, :, :, k])
+
+        have = np.stack(have_list, axis=2)
         any_nn = have.any(axis=2)
-        w = np.exp(-np.stack([cons_bn[:, :, t], cons_fn[:, :, t]], axis=2)
-                   / cfg.alpha)
+        w = np.exp(-np.stack(cons_list, axis=2) / cfg.alpha)
         w = w * have
         wsum = w.sum(axis=2, keepdims=True)
         # numerical fallback: uniform over available candidates
         fallback = have / np.maximum(have.sum(axis=2, keepdims=True), 1)
         weights = np.where(wsum > 0, w / np.maximum(wsum, 1e-30), fallback)
 
-        for grad, cand0, cand1 in ((gradient_x, gx_bn, gx_fn),
-                                   (gradient_y, gy_bn, gy_fn)):
-            fused = (cand0[:, :, :, t] * weights[:, :, 0:1]
-                     + cand1[:, :, :, t] * weights[:, :, 1:2])
+        for grad, cands in ((gradient_x, gx_list), (gradient_y, gy_list)):
+            fused = sum(c * weights[:, :, i:i + 1]
+                        for i, c in enumerate(cands))
             grad[:, :, :, t] = np.where(any_nn[:, :, None], fused,
                                         grad[:, :, :, t])
         mask_tofill[:, :, t] = (~any_nn) & mask[:, :, t]

@@ -46,6 +46,7 @@ from fgt_tpu.pipeline.propagation import (PropagationConfig,
                                           get_flownn_gradient)
 from fgt_tpu.utils import checkpoint as ckpt_utils
 from fgt_tpu.utils.config import apply_yaml_over_args
+from fgt_tpu.utils.costs import LEDGER, costed
 from fgt_tpu.utils.logging_utils import StageTimer, setup_logger
 
 logger = setup_logger()
@@ -89,9 +90,12 @@ def get_ref_index(f: int, neighbor_ids: list[int], length: int,
 
 def norm_flows(flows: np.ndarray) -> np.ndarray:
     """Per-frame, per-channel max normalization (reference :402-407 divides
-    by the signed max over the spatial dims — preserved exactly)."""
+    by the signed max over the spatial dims — preserved exactly, except a
+    zero max (e.g. an all-zero flow channel) maps to divisor 1 instead of
+    the reference's 0/0 NaN)."""
     n, h, w, c = flows.shape
     fmax = flows.reshape(n, h * w, c).max(axis=1)[:, None, None, :]
+    fmax = np.where(fmax == 0, 1.0, fmax)
     return flows / fmax
 
 
@@ -250,7 +254,7 @@ class Models:
         def run(variables, img1, img2, iters):
             return self.raft.apply(variables, img1, img2, iters=iters,
                                    test_mode=True)[1]
-        return run
+        return costed(run, "raft_fn")
 
     @functools.cached_property
     def raft_resized_fn(self):
@@ -267,7 +271,7 @@ class Models:
             scale = jnp.asarray([out_w / w, out_h / h], flow.dtype)
             out = jax.image.resize(flow, (b, out_h, out_w, 2), "bilinear")
             return out * scale
-        return run
+        return costed(run, "raft_resized_fn")
 
     # device-resident window paths: the video/flows are uploaded ONCE as
     # compact dtypes and frame windows are gathered on device — host<->device
@@ -287,7 +291,7 @@ class Models:
                 flow = jax.image.resize(
                     flow, (bsz, out_h, out_w, 2), "bilinear") * scale
             return flow.astype(jnp.float32)
-        return run
+        return costed(run, "raft_pairs_fn")
 
     @functools.cached_property
     def lafc_window_fn(self):
@@ -305,7 +309,7 @@ class Models:
             pm = jnp.take(masks, piv, axis=0)
             pf = jnp.take(flows, piv, axis=0)
             return (out.astype(jnp.float32) * pm + pf * (1 - pm))
-        return run
+        return costed(run, "lafc_window_fn")
 
     @functools.cached_property
     def fgt_window_fn(self):
@@ -325,7 +329,7 @@ class Models:
             # numpy astype, matching the reference composite :734-740)
             out = out.astype(jnp.float32)
             return ((out + 1.0) / 2.0 * 255.0).astype(jnp.uint8)
-        return run
+        return costed(run, "fgt_window_fn")
 
     @functools.cached_property
     def lafc_fn(self):
@@ -333,14 +337,14 @@ class Models:
         def run(variables, flows, masks):
             out = self.lafc_model.apply(variables, flows, masks)
             return out[0] if isinstance(out, tuple) else out
-        return run
+        return costed(run, "lafc_fn")
 
     @functools.cached_property
     def fgt_fn(self):
         @jax.jit
         def run(variables, frames, flows, masks):
             return self.fgt_model.apply(variables, frames, flows, masks)
-        return run
+        return costed(run, "fgt_fn")
 
 
 # ---------------- stages ----------------
@@ -401,6 +405,41 @@ def calculate_flows(models: Models, video: np.ndarray, mode: str,
         flows.append(out)
     flows = np.concatenate(flows, axis=0)
     return np.stack([_resize_flow(f, img_w, img_h) for f in flows], axis=0)
+
+
+def calculate_nonlocal_flows(models: Models, video: np.ndarray,
+                             img_h: int, img_w: int, iters: int = 20,
+                             chunk: int = 4):
+    """RAFT flows between every frame and the 3 key source frames
+    ``[0, N//2, N-1]`` — the ``--Nonlocal`` data contract
+    (reference ``tool/get_flowNN_gradient.py:18-28``; the reference CLI
+    accepts the flag but passes ``None`` at ``video_inpainting.py:631-632``
+    and would crash — here the path is actually wired). Flows are computed
+    on the same frames as the local flows and left uncompleted; the
+    propagation's cycle-consistency gate rejects hole-corrupted matches.
+
+    Returns (nl_f, nl_b), each [N, 3, img_h, img_w, 2]; nl_f[t, k] is the
+    flow t -> key_k, nl_b[t, k] the flow key_k -> t.
+    """
+    n = video.shape[0]
+    keys = [0, n // 2, n - 1]
+    t_idx = np.repeat(np.arange(n), len(keys))
+    k_idx = np.tile(np.asarray(keys), n)
+    video_u8 = jnp.asarray(np.clip(np.round(video), 0, 255).astype(np.uint8))
+    out = {"f": [], "b": []}
+    pairs = n * len(keys)
+    for lo, hi in _chunked(pairs, chunk):
+        sel = np.arange(lo, hi)
+        if hi - lo < chunk:  # pad to keep one compiled shape
+            sel = np.concatenate([sel, np.repeat(sel[-1:], chunk - (hi - lo))])
+        for name, s_idx, d_idx in (("f", t_idx, k_idx), ("b", k_idx, t_idx)):
+            o = np.asarray(models.raft_pairs_fn(
+                models.raft_vars, video_u8, models.shard_chunk(s_idx[sel]),
+                models.shard_chunk(d_idx[sel]), iters, img_h, img_w))
+            out[name].append(o[:hi - lo])
+    nl_f = np.concatenate(out["f"], 0).reshape(n, len(keys), img_h, img_w, 2)
+    nl_b = np.concatenate(out["b"], 0).reshape(n, len(keys), img_h, img_w, 2)
+    return nl_f, nl_b
 
 
 def diffusion(flows: np.ndarray, masks: np.ndarray) -> np.ndarray:
@@ -668,6 +707,9 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
 
     enable_compilation_cache()
     timer = StageTimer()
+    LEDGER.reset()
+    if getattr(args, "costs", False):
+        os.environ["FGT_COSTS"] = "1"
     img_h, img_w = args.imgH, args.imgW
     if img_h < 350:
         flow_h, flow_w = img_h * 2, img_w * 2
@@ -728,6 +770,17 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     with timer.stage("s3_gradients"):
         video, gx, gy = prepare_gradients(video, mask, mask_dilated)
 
+    nl_f_t = nl_b_t = None
+    if getattr(args, "Nonlocal", False):
+        with timer.stage("s3b_nonlocal_flows"):
+            nl_f, nl_b = calculate_nonlocal_flows(
+                models, video_flow, img_h, img_w, iters=models.raft_iters,
+                chunk=max(getattr(args, "raft_chunk", 4), ndev))
+            # propagation layout [H, W, 2, 3, N]
+            nl_f_t = nl_f.transpose(2, 3, 4, 1, 0)
+            nl_b_t = nl_b.transpose(2, 3, 4, 1, 0)
+        logger.info("nonlocal key-frame flows done")
+
     with timer.stage("s4_flownn"):
         # propagation uses [H, W, ..., N] layouts
         pcfg = PropagationConfig(consistency_thres=args.consistencyThres,
@@ -739,7 +792,8 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
         ff_t = videoFlowF.transpose(1, 2, 3, 0)
         fb_t = videoFlowB.transpose(1, 2, 3, 0)
         gx_t, gy_t, mask_tofill = get_flownn_gradient(
-            pcfg, gx_t, gy_t, m_t, md_t, ff_t, fb_t)
+            pcfg, gx_t, gy_t, m_t, md_t, ff_t, fb_t,
+            nonlocal_flow_f=nl_f_t, nonlocal_flow_b=nl_b_t)
     logger.info("gradient propagation done; %d px unfilled",
                 int(mask_tofill.sum()))
 
@@ -795,8 +849,15 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
                 cv2.imwrite(os.path.join(d, f"{i:05d}.png"), fr[:, :, ::-1])
 
     logger.info(timer.report(n_frames))
+    costs = LEDGER.summary(timer.times)
+    for name, row in sorted(costs.items()):
+        if "mfu" in row:
+            logger.info(
+                "cost[%s]: %.2f TFLOP, %.1f TFLOP/s, MFU %.1f%%, HBM %.1f%%",
+                name, row["flops"] / 1e12, row.get("tflops_per_s", 0.0),
+                100 * row["mfu"], 100 * row.get("hbm_util", 0.0))
     timer.dump(os.path.join(args.outroot, "timings.jsonl"),
-               n_frames=n_frames, mode=args.mode)
+               n_frames=n_frames, mode=args.mode, costs=costs)
     logger.info("Done, please check your result in %s", args.outroot)
     return out_path
 
@@ -849,6 +910,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reproduce the reference's per-window shapes "
                         "exactly (slower: one variable-shape forward per "
                         "window)")
+    p.add_argument("--costs", action="store_true",
+                   help="per-stage FLOPs/MFU via XLA cost analysis (one "
+                        "extra AOT compile per jitted signature)")
     p.add_argument("--cpu_flow_resize", action="store_true",
                    help="resize RAFT flows on CPU with cv2 like the "
                         "reference instead of on-device")

@@ -49,9 +49,11 @@ class GANTrainState(NamedTuple):
 
 def norm_flows_nhwc(flows: jnp.ndarray) -> jnp.ndarray:
     """Per (batch, frame, channel) signed-max normalization over space
-    (reference network.py:80-84 — NOT abs-max; preserved)."""
+    (reference network.py:80-84 — NOT abs-max; preserved, except a zero
+    max maps to divisor 1 instead of NaN/inf)."""
     b, t, h, w, c = flows.shape
     fmax = jnp.max(flows.reshape(b, t, h * w, c), axis=2)
+    fmax = jnp.where(fmax == 0, 1.0, fmax)
     return flows / fmax[:, :, None, None, :]
 
 

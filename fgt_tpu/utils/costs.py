@@ -1,0 +1,157 @@
+"""XLA cost-analysis instrumentation: per-stage FLOPs, bytes moved, MFU.
+
+The reference has no cost accounting at all (SURVEY.md §5 — wall-clock
+prints only). Here every jitted stage function can be wrapped with
+:func:`costed`; each call adds its compiled HLO cost (from
+``jitted.lower(...).compile().cost_analysis()``) to the stage that is
+currently open in :class:`fgt_tpu.utils.logging_utils.StageTimer`. The
+pipeline then reports, per TPU stage:
+
+  flops        total HLO-counted FLOPs executed in the stage
+  bytes        total bytes accessed (HBM traffic, XLA estimate)
+  tflops_per_s flops / stage wall seconds
+  mfu          tflops_per_s / chip peak (device-kind table below)
+
+Costs are computed once per (function, input-shape signature) — compiles
+hit the persistent XLA cache, so the lower+compile is cheap after the
+first trace.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+logger = logging.getLogger("fgt_tpu")
+
+# (device_kind substring, peak dense FLOP/s per chip (bf16), HBM bytes/s).
+# Public numbers: v5e 197 TF / 819 GB/s, v5p 459 TF / 2765 GB/s,
+# v4 275 TF / 1228 GB/s, v6e (Trillium) 918 TF / 1640 GB/s,
+# v3 123 TF / 900 GB/s, v2 45 TF / 700 GB/s.
+_PEAKS = (
+    ("v6e", 918e12, 1640e9),
+    ("v5p", 459e12, 2765e9),
+    ("v5e", 197e12, 819e9),
+    ("v5litepod", 197e12, 819e9),
+    ("v5lite", 197e12, 819e9),
+    ("v4", 275e12, 1228e9),
+    ("v3", 123e12, 900e9),
+    ("v2", 45e12, 700e9),
+)
+
+
+def device_peak():
+    """(peak FLOP/s, peak bytes/s) of one attached chip, or (None, None)
+    when unknown (CPU test meshes)."""
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower().replace(" ", "")
+    except Exception:
+        return None, None
+    for sub, fl, bw in _PEAKS:
+        if sub in kind:
+            return fl, bw
+    return None, None
+
+
+class CostLedger:
+    """Accumulates per-stage flops/bytes; one global instance keyed by the
+    stage the StageTimer currently has open."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.stage: str | None = None
+        self.stages: dict[str, dict[str, float]] = {}
+
+    def reset(self):
+        with self._lock:
+            self.stages = {}
+            self.stage = None
+
+    def add(self, flops: float, nbytes: float):
+        with self._lock:
+            name = self.stage
+            if name is None:
+                return
+            rec = self.stages.setdefault(name, {"flops": 0.0, "bytes": 0.0})
+            rec["flops"] += flops
+            rec["bytes"] += nbytes
+
+    def summary(self, stage_times: dict[str, float]) -> dict[str, dict]:
+        """Join with wall times -> per-stage tflops/s and MFU."""
+        peak_fl, peak_bw = device_peak()
+        out = {}
+        for name, rec in self.stages.items():
+            wall = stage_times.get(name, 0.0)
+            row = {"flops": rec["flops"], "bytes": rec["bytes"]}
+            if wall > 0:
+                row["tflops_per_s"] = rec["flops"] / wall / 1e12
+                if peak_fl:
+                    row["mfu"] = rec["flops"] / wall / peak_fl
+                if peak_bw:
+                    row["hbm_util"] = rec["bytes"] / wall / peak_bw
+            out[name] = row
+        return out
+
+
+LEDGER = CostLedger()
+
+
+def _signature(args, kwargs):
+    import jax
+
+    def leaf(x):
+        shape = getattr(x, "shape", None)
+        if shape is None:
+            return repr(x)
+        return (tuple(shape), str(getattr(x, "dtype", "?")))
+
+    return repr(jax.tree_util.tree_map(leaf, (args, kwargs)))
+
+
+def _extract(cost) -> tuple[float, float]:
+    """cost_analysis() returns a dict (new jax) or [dict] (older)."""
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    if not isinstance(cost, dict):
+        return 0.0, 0.0
+    return (float(cost.get("flops", 0.0)),
+            float(cost.get("bytes accessed", 0.0)))
+
+
+class costed:
+    """Wrap a jitted function so every call charges its compiled HLO cost
+    to the currently open pipeline stage. Cost lookup failures degrade to
+    uncounted calls (never break the compute path)."""
+
+    def __init__(self, fn, name: str):
+        self.fn = fn
+        self.name = name
+        self._costs: dict[str, tuple[float, float]] = {}
+
+    def __call__(self, *args, **kwargs):
+        out = self.fn(*args, **kwargs)
+        import os
+
+        # the cost lookup (lower+compile) can trigger a second XLA compile
+        # per signature (~minutes over the axon tunnel), so it is opt-in:
+        # bench.py and --costs set FGT_COSTS; warm calls reuse the cache.
+        if not os.environ.get("FGT_COSTS"):
+            return out
+        try:
+            key = _signature(args, kwargs)
+            if key not in self._costs:
+                cost = self.fn.lower(*args, **kwargs).compile()\
+                    .cost_analysis()
+                self._costs[key] = _extract(cost)
+                fl, by = self._costs[key]
+                logger.info("cost[%s]: %.1f GFLOP, %.1f MB per call",
+                            self.name, fl / 1e9, by / 1e6)
+            LEDGER.add(*self._costs[key])
+        except Exception as e:  # pragma: no cover - backend-specific
+            if not self._costs.get("__warned__"):
+                self._costs["__warned__"] = (0.0, 0.0)
+                logger.info("cost analysis unavailable for %s (%s)",
+                            self.name, e)
+        return out

@@ -51,12 +51,17 @@ class StageTimer:
 
     @contextmanager
     def stage(self, name: str):
+        from fgt_tpu.utils.costs import LEDGER
+
+        prev = LEDGER.stage
+        LEDGER.stage = name
         t0 = time.perf_counter()
         try:
             yield
         finally:
             self.times[name] = self.times.get(name, 0.0) + (
                 time.perf_counter() - t0)
+            LEDGER.stage = prev
 
     def total(self) -> float:
         return sum(self.times.values())

@@ -150,6 +150,150 @@ void bilinear_interp(const float* img, int H, int W, int C,
   }
 }
 
-int fgt_native_version() { return 1; }
+// --- flowNN gradient propagation (reference tool/get_flowNN_gradient.py) ---
+//
+// One directional chaining pass. Frames are processed sequentially in chain
+// order (the transitive case reads the previous frame's finished state);
+// pixels within a frame are independent and parallel.
+//
+// Layouts (all row-major contiguous):
+//   mask        [N, H, W] uint8 (1 = hole)
+//   flow_follow [N-1, H, W, 2] flow from frame t to the source frame
+//   flow_check  [N-1, H, W, 2] flow from the source frame back to t
+//   have        [N, H, W] uint8 out (caller-zeroed)
+//   nn_x/nn_y   [N, H, W] f32 out (chain endpoint, sub-pixel)
+//   nn_t        [N, H, W] i32 out (endpoint frame, caller-filled -1)
+//   cons_u/v    [N, H, W] f32 out (running max |cycle err| along the chain)
+static inline void bilerp2(const float* flow, int H, int W, float xf,
+                           float yf, float* u, float* v) {
+  // zero-outside bilinear of a [H, W, 2] field (cv2.remap INTER_LINEAR
+  // BORDER_CONSTANT semantics, matching propagation.interp).
+  const int x0 = static_cast<int>(std::floor(xf));
+  const int y0 = static_cast<int>(std::floor(yf));
+  const float fx = xf - x0, fy = yf - y0;
+  const float w[4] = {(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy,
+                      fx * fy};
+  const int ys[4] = {y0, y0, y0 + 1, y0 + 1};
+  const int xs[4] = {x0, x0 + 1, x0, x0 + 1};
+  float au = 0.f, av = 0.f;
+  for (int k = 0; k < 4; ++k) {
+    if (ys[k] < 0 || ys[k] >= H || xs[k] < 0 || xs[k] >= W) continue;
+    const float* p = flow + (static_cast<size_t>(ys[k]) * W + xs[k]) * 2;
+    au += w[k] * p[0];
+    av += w[k] * p[1];
+  }
+  *u = au;
+  *v = av;
+}
+
+void flownn_pass(const uint8_t* mask, const float* flow_follow,
+                 const float* flow_check, int forward, int N, int H, int W,
+                 float thres, uint8_t* have, float* nn_x, float* nn_y,
+                 int32_t* nn_t, float* cons_u, float* cons_v) {
+  const size_t plane = static_cast<size_t>(H) * W;
+  for (int step = 0; step < N - 1; ++step) {
+    const int t = forward ? 1 + step : N - 2 - step;
+    const int src = forward ? t - 1 : t + 1;
+    const int fidx = forward ? t - 1 : t;
+    const float* ff = flow_follow + static_cast<size_t>(fidx) * plane * 2;
+    const float* fc = flow_check + static_cast<size_t>(fidx) * plane * 2;
+    const uint8_t* mt = mask + static_cast<size_t>(t) * plane;
+    const uint8_t* msrc = mask + static_cast<size_t>(src) * plane;
+    const size_t ot = static_cast<size_t>(t) * plane;
+    const size_t os = static_cast<size_t>(src) * plane;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
+    for (int y = 0; y < H; ++y) {
+      for (int x = 0; x < W; ++x) {
+        const size_t p = static_cast<size_t>(y) * W + x;
+        if (!mt[p]) continue;
+        const float fu = ff[p * 2], fv = ff[p * 2 + 1];
+        const float tx = x + fu, ty = y + fv;
+        float bu, bv;
+        bilerp2(fc, H, W, tx, ty, &bu, &bv);
+        // cycle error == the reference's consistCheck uv at this pixel
+        const float eu = tx + bu - x, ev = ty + bv - y;
+        if (std::sqrt(eu * eu + ev * ev) >= thres) continue;
+        // np.round = half-to-even = nearbyint under FE_TONEAREST
+        const int tyi = static_cast<int>(std::nearbyint(ty));
+        const int txi = static_cast<int>(std::nearbyint(tx));
+        // last row/col carry no valid gradient -> strict bounds
+        if (tyi < 0 || tyi >= H - 1 || txi < 0 || txi >= W - 1) continue;
+        const size_t q = static_cast<size_t>(tyi) * W + txi;
+        if (!msrc[q]) {  // direct known neighbor
+          have[ot + p] = 1;
+          nn_x[ot + p] = tx;
+          nn_y[ot + p] = ty;
+          nn_t[ot + p] = src;
+          cons_u[ot + p] = std::fabs(eu);
+          cons_v[ot + p] = std::fabs(ev);
+        } else if (have[os + q]) {  // transitive chain through a hole px
+          const float cy = nn_y[os + q] + (ty - tyi);
+          const float cx = nn_x[os + q] + (tx - txi);
+          const int cyi = static_cast<int>(std::nearbyint(cy));
+          const int cxi = static_cast<int>(std::nearbyint(cx));
+          if (cyi < 0 || cyi >= H - 1 || cxi < 0 || cxi >= W - 1) continue;
+          have[ot + p] = 1;
+          nn_x[ot + p] = cx;
+          nn_y[ot + p] = cy;
+          nn_t[ot + p] = nn_t[os + q];
+          cons_u[ot + p] = std::max(std::fabs(eu), std::fabs(cons_u[os + q]));
+          cons_v[ot + p] = std::max(std::fabs(ev), std::fabs(cons_v[os + q]));
+        }
+      }
+    }
+  }
+}
+
+// Chain-endpoint gradient sampling. grad [N, H, W, C] is filled in place;
+// source frames are visited in chain order so transitively filled values
+// feed later frames (reference get_flowNN_gradient.py:372-435). Hole
+// pixels are bucketed by endpoint frame once instead of re-scanning the
+// volume per source frame.
+void flownn_sample(float* grad, const uint8_t* have, const float* nn_x,
+                   const float* nn_y, const int32_t* nn_t, int forward,
+                   int N, int H, int W, int C) {
+  const size_t plane = static_cast<size_t>(H) * W;
+  const size_t total = plane * N;
+  std::vector<int64_t> count(N + 1, 0);
+  for (size_t i = 0; i < total; ++i)
+    if (have[i]) ++count[nn_t[i] + 1];
+  std::vector<int64_t> offset(N + 1, 0);
+  for (int s = 0; s < N; ++s) offset[s + 1] = offset[s] + count[s + 1];
+  std::vector<int64_t> bucket(offset[N]);
+  std::vector<int64_t> cursor(offset.begin(), offset.end() - 1);
+  for (size_t i = 0; i < total; ++i)
+    if (have[i]) bucket[cursor[nn_t[i]]++] = static_cast<int64_t>(i);
+
+  for (int step = 0; step < N; ++step) {
+    const int s = forward ? step : N - 1 - step;
+    const float* src = grad + static_cast<size_t>(s) * plane * C;
+    const int64_t lo = offset[s], hi = offset[s + 1];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t e = lo; e < hi; ++e) {
+      const int64_t i = bucket[e];
+      const float xf = nn_x[i], yf = nn_y[i];
+      const int x0 = static_cast<int>(std::floor(xf));
+      const int y0 = static_cast<int>(std::floor(yf));
+      const float fx = xf - x0, fy = yf - y0;
+      const float w[4] = {(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy,
+                          fx * fy};
+      const int ys[4] = {y0, y0, y0 + 1, y0 + 1};
+      const int xs[4] = {x0, x0 + 1, x0, x0 + 1};
+      float* dst = grad + static_cast<size_t>(i) * C;
+      for (int c = 0; c < C; ++c) dst[c] = 0.f;
+      for (int k = 0; k < 4; ++k) {
+        if (ys[k] < 0 || ys[k] >= H || xs[k] < 0 || xs[k] >= W) continue;
+        const float* p = src + (static_cast<size_t>(ys[k]) * W + xs[k]) * C;
+        for (int c = 0; c < C; ++c) dst[c] += w[k] * p[c];
+      }
+    }
+  }
+}
+
+int fgt_native_version() { return 2; }
 
 }  // extern "C"

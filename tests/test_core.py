@@ -151,3 +151,22 @@ def test_bbox_mask_bounds():
     m = bbox_mask(64, 96, rng=np.random.RandomState(1))
     assert m.shape == (64, 96)
     assert set(np.unique(m)) == {0, 255}
+
+
+def test_stroke_masks_seed_reproducible():
+    """A fixed seed must reproduce the stroke-mask sequence exactly and
+    leave the global RNG state untouched (advisor finding r1)."""
+    import random as _random
+
+    from fgt_tpu.core.masks import get_video_masks_by_moving_random_stroke
+
+    state = _random.getstate()
+    np_state = np.random.get_state()
+    a = get_video_masks_by_moving_random_stroke(5, 64, 48, nStroke=3, seed=7)
+    assert _random.getstate() == state, "global random module perturbed"
+    assert np.random.get_state()[1].tolist() == np_state[1].tolist()
+    b = get_video_masks_by_moving_random_stroke(5, 64, 48, nStroke=3, seed=7)
+    for ma, mb in zip(a, b):
+        np.testing.assert_array_equal(ma, mb)
+    c = get_video_masks_by_moving_random_stroke(5, 64, 48, nStroke=3, seed=8)
+    assert any((ma != mc).any() for ma, mc in zip(a, c))

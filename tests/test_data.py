@@ -142,3 +142,19 @@ def test_fgt_dataset_error_fallback(data_tree, tmp_path):
     ds.name2len["missing_video"] = N_FRAMES
     item = ds[len(ds) - 1]
     assert item["frames"].shape == (5, H, W, 3)
+
+
+def test_sharded_sampler_tiny_dataset_pads_by_tiling():
+    """num_samples < num_shards must still give every shard len(sampler)
+    items (torch DistributedSampler tiling semantics; advisor finding r1)."""
+    samplers = [ShardedSampler(3, shard=s, num_shards=8, shuffle=False)
+                for s in range(8)]
+    lists = [list(s) for s in samplers]
+    assert all(len(l) == len(samplers[0]) == 1 for l in lists)
+    assert set(x for l in lists for x in l) == {0, 1, 2}
+
+    samplers = [ShardedSampler(5, shard=s, num_shards=4, shuffle=True,
+                               seed=3) for s in range(4)]
+    lists = [list(s) for s in samplers]
+    assert all(len(l) == 2 for l in lists)
+    assert set(x for l in lists for x in l) == {0, 1, 2, 3, 4}

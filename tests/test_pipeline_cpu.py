@@ -114,3 +114,92 @@ def test_unfilled_mask_blocked_region():
     assert unfilled[4:6, 4:6].all()
     # with no gradient mask, everything connects
     assert _unfilled_mask(hole, np.zeros((10, 10), bool)).sum() == 0
+
+
+def test_flownn_native_matches_numpy(monkeypatch):
+    """The OpenMP kernels (native/fgt_native.cpp flownn_pass/flownn_sample)
+    must reproduce the vectorized numpy pass bit-closely."""
+    from fgt_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+
+    rng = np.random.RandomState(3)
+    H, W, N = 48, 64, 7
+    mask = np.zeros((H, W, N), bool)
+    mask[12:30, 20:44, :] = True
+    flow_f = (rng.randn(H, W, 2, N - 1) * 2.5).astype(np.float32)
+    flow_b = (-flow_f + rng.randn(H, W, 2, N - 1).astype(np.float32) * 0.4)
+    gx = rng.randn(H, W, 3, N).astype(np.float32)
+    gy = rng.randn(H, W, 3, N).astype(np.float32)
+    cfg = PropagationConfig()
+
+    out_nat = get_flownn_gradient(cfg, gx, gy, mask, mask.copy(),
+                                  flow_f, flow_b)
+    monkeypatch.setenv("FGT_PROP_NUMPY", "1")
+    out_np = get_flownn_gradient(cfg, gx, gy, mask, mask.copy(),
+                                 flow_f, flow_b)
+
+    np.testing.assert_array_equal(out_nat[2], out_np[2])
+    np.testing.assert_allclose(out_nat[0], out_np[0], atol=1e-3)
+    np.testing.assert_allclose(out_nat[1], out_np[1], atol=1e-3)
+
+
+def test_flownn_nonlocal_candidates_fill_unreachable_holes():
+    """--Nonlocal contract: when temporal chaining fails (inconsistent
+    local flows) the key-source candidates [0, N//2, N-1] fill pixels whose
+    key-frame target is known (reference common_utils.py:332-417; the
+    reference CLI never wires this path - we implement it)."""
+    rng = np.random.RandomState(5)
+    H, W, N = 32, 40, 6
+    mask = np.zeros((H, W, N), bool)
+    mask[8:20, 10:26, 1:] = True  # key frame 0 fully known
+
+    # local flows: point far out of the image -> every chain lands out of
+    # bounds and is rejected
+    flow_f = np.full((H, W, 2, N - 1), 1000.0, np.float32)
+    flow_b = np.full((H, W, 2, N - 1), 1000.0, np.float32)
+
+    gx = rng.randn(H, W, 3, N).astype(np.float32)
+    gy = rng.randn(H, W, 3, N).astype(np.float32)
+    # static scene: gradients identical across frames
+    gx[...] = gx[:, :, :, :1]
+    gy[...] = gy[:, :, :, :1]
+
+    # nonlocal flows: exact zeros (static scene), perfectly consistent
+    nl_f = np.zeros((H, W, 2, 3, N), np.float32)
+    nl_b = np.zeros((H, W, 2, 3, N), np.float32)
+
+    cfg = PropagationConfig()
+    gx_m = gx.copy()
+    gx_m[mask[:, :, None, :].repeat(3, 2)] = 0
+
+    _, _, tofill_local = get_flownn_gradient(
+        cfg, gx_m, gx_m, mask, mask.copy(), flow_f, flow_b)
+    assert tofill_local.sum() == mask.sum(), "local chains must all fail"
+
+    out_gx, _, tofill_nl = get_flownn_gradient(
+        cfg, gx_m, gx_m, mask, mask.copy(), flow_f, flow_b,
+        nonlocal_flow_f=nl_f, nonlocal_flow_b=nl_b)
+    assert tofill_nl.sum() == 0, "key frame 0 reaches every hole pixel"
+    # interior recovered from key frame 0 (sampling at integer coords)
+    np.testing.assert_allclose(out_gx[9:19, 11:25, :, 3],
+                               gx[9:19, 11:25, :, 3], atol=1e-4)
+
+
+def test_norm_flows_zero_channel_guard():
+    """An all-zero flow channel must not produce NaN/inf (reference
+    :402-407 would 0/0; guarded here)."""
+    from fgt_tpu.pipeline.video_inpainting import norm_flows
+
+    flows = np.zeros((2, 8, 8, 2), np.float32)
+    flows[0, ..., 0] = np.random.rand(8, 8)
+    out = norm_flows(flows)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0, ..., 0].max(), 1.0, atol=1e-6)
+    # signed-max quirk preserved: all-negative channel flips sign
+    flows[1, ..., 1] = -np.random.rand(8, 8) - 0.5
+    out = norm_flows(flows)
+    assert np.isfinite(out).all()
+    assert out[1, ..., 1].min() >= 0  # divided by the (negative) max

@@ -74,3 +74,19 @@ def test_i3d_converter_maps_all_units():
     # converted weights actually run
     feats = model.apply(out, x)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_vfid_features_cover_tail_frames():
+    """A 24-frame video at clip_len=16 must feature the tail (advisor
+    finding r1: the last clip starts at t-clip_len)."""
+    from fgt_tpu.core.vfid import VFIDScorer
+
+    scorer = VFIDScorer(clip_len=8)
+    rng = np.random.RandomState(0)
+    vid = rng.randint(0, 255, (12, 32, 32, 3), np.uint8)
+    f = scorer._features(vid)
+    assert f.shape[0] == 2  # clips [0:8] and [4:12]
+    f2 = scorer._features(vid[:8])
+    assert f2.shape[0] == 1
+    f3 = scorer._features(vid[:5])  # shorter than clip_len: tiled
+    assert f3.shape[0] == 1
