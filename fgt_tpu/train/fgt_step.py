@@ -61,7 +61,8 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
                         flow_apply: Callable | None,
                         g_tx: optax.GradientTransformation,
                         d_tx: optax.GradientTransformation,
-                        weights: FGTLossWeights = FGTLossWeights()):
+                        weights: FGTLossWeights = FGTLossWeights(),
+                        bi_mode: str | None = None):
     """Build ``step(state, batch, flow_params) -> (state, metrics)``.
 
     * g_apply(params, frames, flows, masks) -> filled frames [B,T,H,W,3]
@@ -70,8 +71,20 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
     * flow_apply(flow_params, flows_2d, masks_2d) -> completed flows or None
       to train on the raw batch flows (tests / precompleted data).
 
-    batch: frames [B,T,H,W,3] in [-1,1], masks [B,T,H,W,1], flows [B,T,H,W,2].
+    batch: frames [B,T,H,W,3] in [-1,1], masks [B,T,H,W,1], flows [B,T,H,W,2]
+    — or, with ``bi_mode`` set (``flow_direction: bi``, which the reference
+    declares but raises NotImplementedError on,
+    FGT/networks/network.py:106-107), flows_fwd + flows_bwd instead of
+    flows:
+
+    * ``bi_mode='fuse'``: both directions are oracle-completed and fused
+      into one velocity estimate (fwd[t] ~ v, bwd[t] ~ -v, so
+      (fwd - bwd) / 2), halving single-direction flow noise.
+    * ``bi_mode='alternate'``: even steps train on forward flows, odd
+      steps on backward — direction augmentation at zero extra compute.
     """
+    if bi_mode not in (None, "fuse", "alternate"):
+        raise ValueError(f"unknown bi_mode: {bi_mode!r}")
 
     def complete_flows(flow_params, flows, masks):
         if flow_apply is None:
@@ -113,7 +126,16 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
     @jax.jit
     def step(state: GANTrainState, batch, flow_params):
         frames, masks = batch["frames"], batch["masks"]
-        flows = complete_flows(flow_params, batch["flows"], masks)
+        if bi_mode == "fuse":
+            fwd = complete_flows(flow_params, batch["flows_fwd"], masks)
+            bwd = complete_flows(flow_params, batch["flows_bwd"], masks)
+            flows = (fwd - bwd) / 2.0
+        elif bi_mode == "alternate":
+            raw = jnp.where(state.step % 2 == 0,
+                            batch["flows_fwd"], batch["flows_bwd"])
+            flows = complete_flows(flow_params, raw, masks)
+        else:
+            flows = complete_flows(flow_params, batch["flows"], masks)
         flows = norm_flows_nhwc(flows)
 
         # generator forward once to build the fake for the D update

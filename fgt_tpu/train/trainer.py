@@ -346,10 +346,12 @@ class FGTTrainer(Trainer):
     model_kind = "fgt"
 
     def __init__(self, opt: dict):
-        if str(opt.get("flow_direction", "for")) == "bi":
-            # reference surface preserved (FGT/networks/network.py:106-107)
-            raise NotImplementedError(
-                "Bidirectional flows are not supported yet")
+        # 'bi' trains on both flow directions — implemented here where the
+        # reference raises NotImplementedError (FGT/networks/network.py:
+        # 106-107). opt['bi_mode'] picks 'fuse' (default) or 'alternate'.
+        self.bi_mode = (str(opt.get("bi_mode", "fuse"))
+                        if str(opt.get("flow_direction", "for")) == "bi"
+                        else None)
         super().__init__(opt)
         tr = opt["train"]
         self.gen = build_model("model", opt)
@@ -405,7 +407,8 @@ class FGTTrainer(Trainer):
             return self.disc.apply(variables, video), variables["spectral"]
 
         self.step = make_fgt_train_step(g_apply, d_apply, flow_apply,
-                                        self.g_tx, self.d_tx, weights)
+                                        self.g_tx, self.d_tx, weights,
+                                        bi_mode=self.bi_mode)
         state = GANTrainState(
             g_params=g_params, d_params=d_vars["params"],
             d_spectral=d_vars["spectral"], g_opt=self.g_tx.init(g_params),
@@ -419,9 +422,12 @@ class FGTTrainer(Trainer):
         return "train_dataset"
 
     def _train_step(self, batch: dict) -> dict:
-        flows = batch.get("forward_flo", batch.get("backward_flo"))
-        b = {"frames": batch["frames"], "masks": batch["masks"],
-             "flows": flows}
+        b = {"frames": batch["frames"], "masks": batch["masks"]}
+        if self.bi_mode:
+            b["flows_fwd"] = batch["forward_flo"]
+            b["flows_bwd"] = batch["backward_flo"]
+        else:
+            b["flows"] = batch.get("forward_flo", batch.get("backward_flo"))
         b = put_batch(self.mesh, {k: jnp.asarray(v) for k, v in b.items()})
         self.state, metrics = self.step(self.state, b, self.flow_params)
         return metrics

@@ -17,9 +17,25 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the jit-compile-heavy tests dominate suite
+# wall time on this 1-core host; warm re-runs skip the XLA compiles.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/fgt_tpu_xla_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(items):
+    """Tier markers: anything not heavy/slow/parity is a unit test, so
+    ``pytest -m unit`` is the fast tier and ``-m "not heavy"`` skips the
+    compile-heavy modules."""
+    for item in items:
+        if not any(item.get_closest_marker(m)
+                   for m in ("heavy", "slow", "parity")):
+            item.add_marker(pytest.mark.unit)
 
 
 @pytest.fixture(autouse=True)

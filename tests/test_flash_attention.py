@@ -10,6 +10,8 @@ import pytest
 from fgt_tpu.ops.attention import TMHSA, _attend
 from fgt_tpu.ops.flash_attention import flash_attend, flash_mhsa
 
+pytestmark = pytest.mark.heavy  # jit-compile heavy (minutes on a 1-core host)
+
 
 @pytest.mark.parametrize("n,l,ch", [(2, 128, 128), (3, 300, 128),
                                     (1, 1000, 128), (2, 64, 64)])

@@ -14,6 +14,7 @@ SMALL_FGT = FGTConfig(
     num_heads=4, mlp_ratio=2, tw=2, sw=4, gd=2, input_resolution=(48, 48))
 
 
+@pytest.mark.heavy
 def test_fgt_forward_shapes():
     b, t, h, w = 1, 3, 48, 48
     frames = jnp.zeros((b, t, h, w, 3))
@@ -26,6 +27,7 @@ def test_fgt_forward_shapes():
     assert np.all(np.abs(np.asarray(out)) <= 1.0)  # tanh range
 
 
+@pytest.mark.heavy
 def test_fgt_nondivisible_resolution():
     # 60x76 -> token grid not divisible by windows: pad paths must work
     b, t, h, w = 1, 2, 60, 76

@@ -182,6 +182,7 @@ def test_swmhsa_shapes_with_padding():
     assert y.shape == (b * t, h * w, c)
 
 
+@pytest.mark.heavy
 def test_swmhsa_flow_influences_output():
     b, h, w, c, cf = 1, 8, 8, 16, 8
     x = jnp.asarray(np.random.randn(b, h * w, c).astype(np.float32))
@@ -197,6 +198,7 @@ def test_swmhsa_flow_influences_output():
 
 # ---------- FFN ----------
 
+@pytest.mark.heavy
 def test_fusion_ffn_shapes():
     # FGT-scale: tokens 20x36 from a 60x108 grid with k7 s3 p3
     output_size = (60, 108)

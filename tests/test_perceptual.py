@@ -1,5 +1,6 @@
 """VGG19 perceptual/style losses: trunk shape, loss semantics, converter."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,8 @@ import numpy as np
 from fgt_tpu.train.perceptual import (VGG19Features,
                                       convert_vgg19_checkpoint,
                                       perceptual_loss, style_loss)
+
+pytestmark = pytest.mark.heavy  # VGG19 compile bound
 
 
 def _setup():

@@ -107,6 +107,7 @@ def test_video_extrapolation_end_to_end(tmp_path):
     assert vid[0].shape[0] == 80 and vid[0].shape[1] == 80  # 64*1.25
 
 
+@pytest.mark.heavy
 def test_dp_inference_matches_single_device(tmp_path):
     """--dp shards batched stage calls over the 8-device CPU mesh and must
     produce the same composited frames as the single-device path."""

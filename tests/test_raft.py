@@ -1,4 +1,5 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +55,7 @@ def test_upsample_flow_convex_shapes():
     np.testing.assert_allclose(interior, 8.0, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_raft_forward_smoke():
     cfg = RAFTConfig(iters=2)
     model = RAFT(cfg)
@@ -68,6 +70,7 @@ def test_raft_forward_smoke():
     assert np.isfinite(np.asarray(up)).all()
 
 
+@pytest.mark.heavy
 def test_lookup_matches_scalar_tap_reference():
     """The banded/one-hot lookup must be bit-equal to the naive 4-corner
     scalar-gather formulation (which mirrors torch grid_sample zeros

@@ -117,6 +117,7 @@ def _init_lafc():
     return model, params
 
 
+@pytest.mark.heavy
 def test_lafc_train_step_reduces_loss():
     model, params = _init_lafc()
     tx = make_adam(lambda s: 1e-3)
@@ -132,6 +133,7 @@ def test_lafc_train_step_reduces_loss():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.heavy
 def test_lafc_step_dp_equivalence():
     """Gradient math on an 8-device dp mesh must equal single-device."""
     model, params = _init_lafc()
@@ -192,6 +194,7 @@ def _init_fgt_gan():
     return g_apply, d_apply, g_params, d_vars
 
 
+@pytest.mark.heavy
 def test_fgt_gan_step_runs_and_updates():
     g_apply, d_apply, g_params, d_vars = _init_fgt_gan()
     g_tx = make_adam(lambda s: 1e-4)
@@ -212,6 +215,7 @@ def test_fgt_gan_step_runs_and_updates():
     assert int(state.step) == 2
 
 
+@pytest.mark.heavy
 def test_fgt_gan_step_dp_mesh():
     g_apply, d_apply, g_params, d_vars = _init_fgt_gan()
     g_tx = make_adam(lambda s: 1e-4)

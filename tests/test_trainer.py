@@ -13,6 +13,8 @@ import yaml
 
 from fgt_tpu.core.flow_io import write_flow
 
+pytestmark = pytest.mark.heavy  # jit-compile heavy (minutes on a 1-core host)
+
 H, W = 32, 32
 N_FRAMES = 8
 
@@ -133,18 +135,22 @@ def test_fgt_trainer_end_to_end_and_resume(tmp_path, tree):
     assert trainer3.current_step == 3
 
 
-def test_fgt_bi_direction_raises(tmp_path, tree):
-    """Reference parity: 'bi' flow direction raises NotImplementedError
-    (FGT/networks/network.py:106-107)."""
-    from fgt_tpu.train.train import main
-
-    cfg_path = tmp_path / "cfg_bi.yaml"
+@pytest.mark.parametrize("bi_mode", ["fuse", "alternate"])
+def test_fgt_bi_direction_trains(tmp_path, tree, bi_mode):
+    """'bi' flow direction trains with finite losses — the reference
+    declares the option but raises NotImplementedError
+    (FGT/networks/network.py:106-107); we implement it (fused
+    bidirectional velocity or per-step alternation)."""
     extra = dict(FGT_SMALL)
     extra["flow_direction"] = "bi"
-    _write_cfg(cfg_path, tree, "model", extra)
-    with pytest.raises(NotImplementedError):
-        main(["--opt", str(cfg_path), "--model", "model",
-              "--outputdir", str(tmp_path / "out")])
+    extra["bi_mode"] = bi_mode
+    extra["name"] = f"test_bi_{bi_mode}"
+    trainer, out = _run(tmp_path, tree, "model", extra)
+    assert trainer.current_step == 3
+    metrics = [json.loads(l) for l in
+               open(out / f"test_bi_{bi_mode}" / "tb" / "metrics.jsonl")]
+    assert np.isfinite(metrics[-1]["gen_loss"])
+    assert np.isfinite(metrics[-1]["dis_loss"])
 
 
 def test_lafc_validation_runs(tmp_path, tree):

@@ -2,11 +2,14 @@
 round-trip on a synthetic torch-style state_dict."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from fgt_tpu.core.vfid import (I3D, VFIDScorer, convert_i3d_checkpoint,
                                feature_stats, frechet_distance, vfid)
+
+pytestmark = pytest.mark.heavy  # jit-compile heavy (minutes on a 1-core host)
 
 
 def test_i3d_feature_shape():
