@@ -190,6 +190,7 @@ class Models:
         # multi-chip serving: shard the batched window/pair axis over a dp
         # mesh (params + video replicated; XLA partitions the stage fns)
         self.mesh = None
+        self._dp_warned: set = set()
         if getattr(args, "dp", False) and len(jax.devices()) > 1:
             from fgt_tpu.parallel.mesh import make_mesh
 
@@ -201,7 +202,19 @@ class Models:
         """Place a window-index chunk with its batch axis dp-sharded
         (replicated when the chunk doesn't divide the mesh)."""
         ids = jnp.asarray(ids)
-        if self.mesh is None or ids.shape[0] % self.mesh.devices.size:
+        if self.mesh is None:
+            return ids
+        if ids.shape[0] % self.mesh.devices.size:
+            # loud, once per distinct size: a replicated chunk silently
+            # loses the dp speedup — raise the chunk flags to a multiple
+            # of the mesh size to keep every device busy
+            key = ("replicated_chunk", int(ids.shape[0]))
+            if key not in self._dp_warned:
+                self._dp_warned.add(key)
+                logger.warning(
+                    "--dp: chunk of %d does not divide the %d-device mesh; "
+                    "running REPLICATED (no dp speedup) for this shape",
+                    ids.shape[0], self.mesh.devices.size)
             return ids
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -925,9 +938,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", action="store_true",
                    help="shard batched stage calls over all local "
                         "devices (multi-chip serving)")
-    p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 params + activations on TPU (~2x RAFT; "
-                        "validate quality before publication runs)")
+    # bf16 is the default inference dtype (matmul accumulators stay f32):
+    # ~2x on the RAFT stage, e2e delta vs f32 bounded by
+    # tests/test_pipeline_e2e.py::test_bf16_end_to_end_bounded_delta.
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bfloat16 params + activations on TPU (default)")
+    p.add_argument("--f32", dest="bf16", action="store_false",
+                   help="full float32 inference (reference dtype)")
     return p
 
 

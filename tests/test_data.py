@@ -158,3 +158,72 @@ def test_sharded_sampler_tiny_dataset_pads_by_tiling():
     lists = [list(s) for s in samplers]
     assert all(len(l) == 2 for l in lists)
     assert set(x for l in lists for x in l) == {0, 1, 2, 3, 4}
+
+
+def test_frame_and_mask_readers(tmp_path):
+    """FVI reader zoo: directory listing + sampling + bbox extraction +
+    bbox-list mask generation (reference readers.py surface)."""
+    import cv2
+
+    from fgt_tpu.data.readers import (BoundingBoxesListReader,
+                                      CompareFramesReader, FrameReader,
+                                      MaskGenerator, MaskReader,
+                                      save_frames_to_dir)
+
+    d = tmp_path / "fr"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        cv2.imwrite(str(d / f"{i:05d}.png"),
+                    rng.randint(0, 255, (24, 32, 3), np.uint8))
+    r = FrameReader(str(d), max_length=4, sample_period=2)
+    assert len(r) == 3  # 6 files, every 2nd, capped at 4
+    assert r[0].shape == (24, 32, 3)
+    r2 = FrameReader(str(d), resize=(16, 12))
+    assert r2[0].shape == (12, 16, 3)
+
+    md = tmp_path / "masks"
+    md.mkdir()
+    m = np.zeros((24, 32), np.uint8)
+    m[5:15, 8:20] = 255
+    cv2.imwrite(str(md / "00000.png"), m)
+    mr = MaskReader(str(md))
+    (x0, y0), (x1, y1) = mr.get_bbox(0)
+    assert (x0, y0) == (8, 5) and (x1, y1) == (19, 14)
+
+    gen = MaskGenerator(str(tmp_path / "gen"), (32, 24),
+                        [[((8, 5), (19, 14))]], save_masks=True)
+    np.testing.assert_array_equal(gen[0], m)
+    assert (tmp_path / "gen" / "mask_0000.png").exists()
+
+    cmp_r = CompareFramesReader([str(d), str(d)], names=["a", "b"])
+    assert cmp_r[0].shape == (24, 64, 3)
+
+    bd = tmp_path / "boxes"
+    bd.mkdir()
+    (bd / "b0.txt").write_text("8 5 19 14\n1 2 3 4\n")
+    br = BoundingBoxesListReader(str(bd))
+    assert br[0] == [((8, 5), (19, 14)), ((1, 2), (3, 4))]
+
+    save_frames_to_dir([r[0]], str(tmp_path / "out_frames"))
+    assert (tmp_path / "out_frames" / "frame_0000.png").exists()
+
+
+def test_mask_models_shapes_and_reproducibility():
+    """Mask-model zoo (reference MaskModel.py surface): [T,H,W,1] masks,
+    255=hole, seeded reproducibility."""
+    from fgt_tpu.data.mask_models import MASK_MODELS, build_mask_model
+
+    info = {"image": {"image_height": 48, "image_width": 64},
+            "mask": {"mask_height": 16, "mask_width": 20,
+                     "vertical_margin": 2, "horizontal_margin": 2,
+                     "row": 2, "column": 2}}
+    for name in MASK_MODELS:
+        model = build_mask_model(name, 4, info, seed=3)
+        masks = model()
+        assert masks.shape == (4, 48, 64, 1), name
+        assert set(np.unique(masks)) <= {0.0, 255.0}, name
+        assert masks.sum() > 0, name
+    a = build_mask_model("random", 4, info, seed=3)()
+    b = build_mask_model("random", 4, info, seed=3)()
+    np.testing.assert_array_equal(a, b)

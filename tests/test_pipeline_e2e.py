@@ -129,3 +129,29 @@ def test_dp_inference_matches_single_device(tmp_path):
     v2 = np.stack(read_video(out2))
     # codec-level equality: identical inputs -> near-identical mp4s
     assert np.abs(v1.astype(int) - v2.astype(int)).mean() < 1.0
+
+
+@pytest.mark.slow
+def test_bf16_end_to_end_bounded_delta(tmp_path):
+    """--bf16 runs the whole pipeline and its output stays within a small
+    PSNR delta of the f32 run (same random weights, same data). Bounds the
+    'flow drift ~0.3%' code comment with a measured gate."""
+    frames, masks = _make_data(tmp_path)
+    lafc, fgt = _make_ckpts(tmp_path)
+
+    args = _args(tmp_path, "object_removal", frames, masks, lafc, fgt)
+    args.outroot = str(tmp_path / "out_f32")
+    out32 = vi.video_inpainting(args)
+
+    args = _args(tmp_path, "object_removal", frames, masks, lafc, fgt)
+    args.outroot = str(tmp_path / "out_bf16")
+    args.bf16 = True
+    out16 = vi.video_inpainting(args)
+
+    v32 = np.stack(read_video(out32)).astype(np.float64)
+    v16 = np.stack(read_video(out16)).astype(np.float64)
+    rmse = np.sqrt(((v32 - v16) ** 2).mean())
+    psnr = 20 * np.log10(255.0 / max(rmse, 1e-9))
+    # mp4 encoding adds its own noise floor; require the bf16 pass to stay
+    # within a tight envelope of the f32 pass
+    assert psnr > 35.0, f"bf16 deviates from f32: PSNR {psnr:.1f} dB"

@@ -197,3 +197,101 @@ def test_discriminator_forward_parity():
     out = jm.apply(variables, jx)  # [b, t, h', w', c]
     out = np.asarray(out).transpose(0, 1, 4, 2, 3)
     np.testing.assert_allclose(out, ref_out, atol=2e-4, rtol=1e-3)
+
+
+# ---------------- full reference scale (FGT/config/train.yaml:58-85) ----------------
+
+FGT_CFG_FULL = {
+    "tw": 2, "sw": 8, "gd": 4, "input_resolution": (240, 432),
+    "in_channel": 4, "cnum": 64, "flow_inChannel": 2, "flow_cnum": 64,
+    "frame_hidden": 512, "flow_hidden": 256, "PASSMASK": 1, "numBlocks": 8,
+    "kernel_size": (7, 7), "stride": (3, 3), "padding": (3, 3),
+    "num_head": 4, "conv_type": "vanilla", "norm": None, "use_bias": 1,
+    "ape": 1, "mlp_ratio": 40, "drop": 0, "init_weights": 1,
+}
+
+
+@pytest.mark.parity
+@pytest.mark.slow
+def test_fgt_forward_parity_full_scale():
+    """Parity at the published model scale: 240x432, 8 blocks, hidden 512,
+    mlp_ratio 40 — the exact config of FGT/config/train.yaml:58-85. The
+    toy-scale test above pins the mapping; this pins numerics where error
+    could accumulate across all 8 blocks and the 20480-wide FFN."""
+    ref_mod = _import_from([f"{REF}/FGT"], "models.model")
+    torch.manual_seed(0)
+    ref = ref_mod.Model(FGT_CFG_FULL).eval()
+    state = {k: v for k, v in ref.state_dict().items()}
+
+    from fgt_tpu.convert.torch2jax import apply_mapping, fgt_mapping
+    from fgt_tpu.models.fgt import Model as JaxModel
+
+    b, t, h, w = 1, 2, 240, 432
+    rng = np.random.RandomState(0)
+    frames = rng.randn(b, t, 3, h, w).astype(np.float32)
+    flows = rng.randn(b, t, 2, h, w).astype(np.float32)
+    masks = (rng.rand(b, t, 1, h, w) > 0.7).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(frames), torch.from_numpy(flows),
+                      torch.from_numpy(masks)).numpy()
+
+    jm = JaxModel(config=FGT_CFG_FULL)
+    variables = jax.jit(jm.init)(
+        jax.random.PRNGKey(0), jnp.zeros((b, t, h, w, 3)),
+        jnp.zeros((b, t, h, w, 2)), jnp.zeros((b, t, h, w, 1)))
+    variables = apply_mapping(variables, state,
+                              fgt_mapping(FGT_CFG_FULL["numBlocks"]))
+    out = jm.apply(variables,
+                   jnp.asarray(frames.transpose(0, 1, 3, 4, 2)),
+                   jnp.asarray(flows.transpose(0, 1, 3, 4, 2)),
+                   jnp.asarray(masks.transpose(0, 1, 3, 4, 2)))
+    out = np.asarray(out).reshape(b * t, h, w, 3).transpose(0, 3, 1, 2)
+    # Bitwise f32 parity is not achievable across backends at this depth:
+    # XLA and torch reassociate the 20480-wide FFN and attention
+    # contractions differently, and the resulting ~1e-7 relative noise is
+    # amplified through 8 blocks (measured: same magnitude with mlp_ratio=2,
+    # so depth-driven, not a mapping bug — the toy-scale test above pins
+    # the mapping at 5e-4). Gate on output PSNR over the [-1,1] range;
+    # >= 55 dB is ~500x below the 0.1 dB quality budget.
+    d = out - ref_out
+    rmse = float(np.sqrt((d ** 2).mean()))
+    psnr = 20 * np.log10(2.0 / rmse)
+    assert psnr >= 55.0, f"full-scale parity PSNR {psnr:.1f} dB"
+    assert np.abs(d).max() < 0.05
+
+
+LAFC_CFG_FULL = {"num_flows": 3, "cnum": 48, "in_channel": 3, "PASSMASK": 1,
+                 "use_residual": 1, "resBlocks": 1, "use_bias": 1,
+                 "conv_type": "vanilla", "init_weights": 1}
+
+
+@pytest.mark.parity
+@pytest.mark.slow
+def test_lafc_forward_parity_full_scale():
+    """LAFC parity at the published scale: cnum 48, 240x432 flows
+    (LAFC/config/train.yaml)."""
+    ref_mod = _import_from([f"{REF}/LAFC"], "models.lafc")
+    torch.manual_seed(0)
+    ref = ref_mod.Model(LAFC_CFG_FULL).eval()
+    state = {k: v for k, v in ref.state_dict().items()}
+
+    from fgt_tpu.convert.torch2jax import apply_mapping, lafc_mapping
+    from fgt_tpu.models.lafc import Model as JaxModel
+
+    b, t, h, w = 1, 3, 240, 432
+    rng = np.random.RandomState(1)
+    flows = rng.randn(b, 2, t, h, w).astype(np.float32)
+    masks = (rng.rand(b, 1, t, h, w) > 0.7).astype(np.float32)
+    with torch.no_grad():
+        rf, re = ref(torch.from_numpy(flows), torch.from_numpy(masks))
+    jm = JaxModel(config=LAFC_CFG_FULL)
+    jf = jnp.asarray(flows.transpose(0, 2, 3, 4, 1))
+    jm_mask = jnp.asarray(masks.transpose(0, 2, 3, 4, 1))
+    variables = jax.jit(jm.init)(jax.random.PRNGKey(0), jf, jm_mask)
+    variables = apply_mapping(variables, state, lafc_mapping(1))
+    of, oe = jm.apply(variables, jf, jm_mask)
+    np.testing.assert_allclose(np.asarray(of).transpose(0, 3, 1, 2),
+                               rf.numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(oe).transpose(0, 3, 1, 2),
+                               re.numpy(), atol=1e-3, rtol=1e-3)
