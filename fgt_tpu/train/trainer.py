@@ -291,7 +291,10 @@ class LAFCTrainer(Trainer):
             mask_size=int(vi.get("flow_mask_rect", 96)),
             num_flows=int(self.opt.get("num_flows", 3)),
             interval=int(self.opt.get("flow_interval", 3)),
-            single=self.single)
+            single=self.single,
+            save_dir=(os.path.join(self.run_dir, "validation",
+                                   f"epoch_{epoch}")
+                      if self.rank <= 0 else None))
         if self.rank <= 0 and scores:
             self.metrics.write(self.current_step,
                                {f"val/{k}": v for k, v in scores.items()})
@@ -501,7 +504,10 @@ class FGTTrainer(Trainer):
                                                  (240, 432)))),
             mask_size=int(vi.get("flow_mask_rect", 96)),
             pivot=int(vi.get("pivot", 20)),
-            num_frames=int(self.opt.get("num_frames", 5)))
+            num_frames=int(self.opt.get("num_frames", 5)),
+            save_dir=(os.path.join(self.run_dir, "validation",
+                                   f"epoch_{epoch}")
+                      if self.rank <= 0 else None))
         if self.rank <= 0 and scores:
             self.metrics.write(self.current_step,
                                {f"val/{k}": v for k, v in scores.items()})

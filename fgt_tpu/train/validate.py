@@ -52,8 +52,15 @@ def validate_fgt(gen, g_params, frame_root: str, flow_root: Optional[str],
                  flow_params=None, flow_model=None, mask_root: Optional[str]
                  = None, num_videos: int = 10, resolution=(240, 432),
                  mask_size: int = 96, pivot: int = 20, num_frames: int = 5,
-                 ref_length: int = 20) -> dict:
+                 ref_length: int = 20, save_dir: Optional[str] = None
+                 ) -> dict:
+    """With ``save_dir``, per-video side-by-side canvases
+    (result | GT | masked input), one row per validation frame, are
+    written next to the scalars (reference FGT/networks/network.py:470-491
+    dumps the same triple)."""
     height, width = resolution
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
     videos = sorted(os.listdir(frame_root))[:num_videos]
     apply_fn = jax.jit(lambda p, fr, fl, m: gen.apply(p, fr, fl, m))
     flow_fn = None
@@ -126,6 +133,13 @@ def validate_fgt(gen, g_params, frame_root: str, flow_root: Optional[str],
                               - gt_u8[t].astype(np.float64)).mean())
             l2s.append(((comp_u8[t].astype(np.float64)
                          - gt_u8[t].astype(np.float64)) ** 2).mean())
+        if save_dir:
+            masked_u8 = ((frames_np * (1 - masks_np) + 1) * 127.5)\
+                .clip(0, 255).astype(np.uint8)
+            rows = [np.concatenate([comp_u8[t], gt_u8[t], masked_u8[t]],
+                                   axis=1) for t in range(gt_u8.shape[0])]
+            imageio.imwrite(os.path.join(save_dir, f"{video}.png"),
+                            np.concatenate(rows, axis=0))
     if not psnrs:
         return {}
     return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
@@ -135,14 +149,22 @@ def validate_fgt(gen, g_params, frame_root: str, flow_root: Optional[str],
 def validate_lafc(model, params, flow_root: str, num_videos: int = 10,
                   resolution=(240, 432), mask_size: int = 96,
                   num_flows: int = 3, interval: int = 3,
-                  single: bool = False) -> dict:
+                  single: bool = False, save_dir: Optional[str] = None
+                  ) -> dict:
     """Flow-domain validation (reference LAFC/networks/network.py:271-373):
     first videos' forward+backward flows, centered square masks, diffusion
-    fill, completion, PSNR/SSIM on flow->RGB + L1/L2 on raw flows."""
+    fill, completion, PSNR/SSIM on flow->RGB + L1/L2 on raw flows.
+
+    With ``save_dir``, a flow triptych (completed | GT | diffused input)
+    per video/direction is written as flow->RGB PNGs (reference
+    LAFC/networks/network.py:481-513)."""
+    from fgt_tpu.core.flow_viz import flow_to_rgb
     from fgt_tpu.core.metrics import calculate_flow_metrics
     from fgt_tpu.pipeline.video_inpainting import indices_gen
 
     height, width = resolution
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
     apply_fn = jax.jit(lambda p, f, m: model.apply(p, f, m))
     videos = sorted(os.listdir(flow_root))[:num_videos]
     agg = {"psnr": [], "ssim": [], "l1": [], "l2": []}
@@ -180,6 +202,13 @@ def validate_lafc(model, params, flow_root: str, num_videos: int = 10,
             m = calculate_flow_metrics(comp, target)
             for k in agg:
                 agg[k].append(m[k])
+            if save_dir:
+                trip = np.concatenate(
+                    [flow_to_rgb(comp[0]), flow_to_rgb(target[0]),
+                     flow_to_rgb(din[num_flows // 2])], axis=1)
+                imageio.imwrite(
+                    os.path.join(save_dir, f"{video}_{direction}.png"),
+                    (trip * 255).clip(0, 255).astype(np.uint8))
     if not agg["psnr"]:
         return {}
     return {k: float(np.mean(v)) for k, v in agg.items()}

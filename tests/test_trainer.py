@@ -168,5 +168,39 @@ def test_lafc_validation_runs(tmp_path, tree):
                         jnp.zeros((1, 3, H, W, 2)), jnp.zeros((1, 3, H, W, 1)))
     scores = validate_lafc(model, params, str(tree / "flows"),
                            num_videos=2, resolution=(H, W), mask_size=12,
-                           num_flows=3, interval=1)
+                           num_flows=3, interval=1,
+                           save_dir=str(tmp_path / "viz"))
     assert scores and np.isfinite(scores["psnr"])
+    # flow triptychs (completed | GT | diffused) written next to scalars
+    pngs = glob.glob(str(tmp_path / "viz" / "*.png"))
+    assert pngs, "validation visuals missing"
+    img = imageio.imread(pngs[0])
+    assert img.shape == (H, 3 * W, 3)
+
+
+def test_fgt_validation_visuals(tmp_path, tree):
+    """validate_fgt writes (result | GT | masked) canvases per video."""
+    import jax
+    import jax.numpy as jnp
+
+    from fgt_tpu.models.fgt import FGT, FGTConfig
+    from fgt_tpu.train.validate import validate_fgt
+
+    cfg = FGTConfig(cnum=8, flow_cnum=8, frame_hidden=32, flow_hidden=16,
+                    num_blocks=2, num_heads=4, mlp_ratio=2, tw=2, sw=4,
+                    gd=2, input_resolution=(H, W))
+    gen = FGT(cfg)
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 2, H, W, 3)),
+                               jnp.zeros((1, 2, H, W, 2)),
+                               jnp.zeros((1, 2, H, W, 1)))
+    scores = validate_fgt(gen, params, str(tree / "frames"),
+                          str(tree / "flows"), num_videos=1,
+                          resolution=(H, W), mask_size=12, pivot=3,
+                          num_frames=2, ref_length=4,
+                          save_dir=str(tmp_path / "viz"))
+    assert scores and np.isfinite(scores["psnr"])
+    pngs = glob.glob(str(tmp_path / "viz" / "*.png"))
+    assert pngs, "validation canvases missing"
+    img = imageio.imread(pngs[0])
+    assert img.shape[1] == 3 * W  # result | GT | masked
