@@ -167,9 +167,39 @@ def raft_mapping(has_batch_stats: bool = True):
     return m
 
 
-def convert_raft_checkpoint(path: str, variables: dict) -> dict:
+def raft_small_mapping():
+    """RAFT --small tree (SmallEncoder bottlenecks + plain ConvGRU +
+    FlowHead; reference raft.py:48-51, extractor.py:195-266,
+    update.py:62-112). Instance/none norms carry no parameters."""
+    P = ("params",)
+    m: dict = {}
+    for name in ("fnet", "cnet"):
+        m.update(_conv(P + (name, "conv1"), f"{name}.conv1"))
+        m.update(_conv(P + (name, "conv2"), f"{name}.conv2"))
+        for i in range(3):
+            for j in range(2):
+                blk = P + (name, f"layer{i}_{j}")
+                tblk = f"{name}.layer{i + 1}.{j}"
+                for c in ("conv1", "conv2", "conv3"):
+                    m.update(_conv(blk + (c,), f"{tblk}.{c}"))
+                if i > 0 and j == 0:
+                    m.update(_conv(blk + ("downsample",),
+                                   f"{tblk}.downsample.0"))
+    ub = P + ("update_block",)
+    for c in ("convc1", "convf1", "convf2", "conv"):
+        m.update(_conv(ub + ("encoder", c), f"update_block.encoder.{c}"))
+    for g in ("convz", "convr", "convq"):
+        m.update(_conv(ub + ("gru", g), f"update_block.gru.{g}"))
+    m.update(_conv(ub + ("flow_conv1",), "update_block.flow_head.conv1"))
+    m.update(_conv(ub + ("flow_conv2",), "update_block.flow_head.conv2"))
+    return m
+
+
+def convert_raft_checkpoint(path: str, variables: dict,
+                            small: bool = False) -> dict:
     state = load_torch_state(path)
-    return apply_mapping(variables, state, raft_mapping())
+    mapping = raft_small_mapping() if small else raft_mapping()
+    return apply_mapping(variables, state, mapping)
 
 
 # ---------------- LAFC ----------------

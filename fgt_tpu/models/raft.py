@@ -11,8 +11,13 @@ update.py:33-138, extractor.py:118-266). TPU-first restructuring:
   Python loop unrolling;
 * convex upsampling uses the torch-exact unfold from fgt_tpu.ops.fold.
 
-Only the "big" variant is wired for the pipeline (the reference CLI default;
-``--small`` exists there but is never used by the inpainting tool).
+Both variants are wired: the "big" one (the reference CLI default) and
+``--small`` (hidden 96 / context 64 / radius 3, bottleneck encoders, plain
+ConvGRU, bilinear x8 upsampling — reference raft.py:29-58). The
+memory-efficient correlation path (``alternate_corr``, the reference's
+optional alt_cuda_corr extension, corr.py:62-84) is implemented TPU-first:
+per-iteration on-the-fly neighborhood correlation in pixel chunks that
+never materializes the [B*H*W, H, W] all-pairs volume.
 """
 
 from __future__ import annotations
@@ -34,6 +39,15 @@ class RAFTConfig:
     corr_levels: int = 4
     corr_radius: int = 4
     iters: int = 20
+    small: bool = False           # reference raft.py:29-33
+    alternate_corr: bool = False  # reference corr.py:62-84
+    corr_chunk: int = 2048        # pixels per alternate-corr chunk
+
+    def __post_init__(self):
+        if self.small:
+            self.hidden_dim = 96
+            self.context_dim = 64
+            self.corr_radius = 3
 
 
 def kaiming_fan_out():
@@ -96,6 +110,51 @@ class BasicEncoder(nn.Module):
         for i, (dim, stride) in enumerate(((64, 1), (96, 2), (128, 2))):
             y = ResidualBlock(dim, self.norm, stride, name=f"layer{i}_0")(y)
             y = ResidualBlock(dim, self.norm, 1, name=f"layer{i}_1")(y)
+        return nn.Conv(self.output_dim, (1, 1),
+                       kernel_init=kaiming_fan_out(), name="conv2")(y)
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual bottleneck (reference extractor.py:60-116)."""
+
+    planes: int
+    norm: str
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        q = self.planes // 4
+        y = nn.Conv(q, (1, 1), kernel_init=kaiming_fan_out(),
+                    name="conv1")(x)
+        y = nn.relu(_Norm(self.norm, q, name="norm1")(y))
+        y = nn.Conv(q, (3, 3), strides=self.stride, padding=1,
+                    kernel_init=kaiming_fan_out(), name="conv2")(y)
+        y = nn.relu(_Norm(self.norm, q, name="norm2")(y))
+        y = nn.Conv(self.planes, (1, 1), kernel_init=kaiming_fan_out(),
+                    name="conv3")(y)
+        y = nn.relu(_Norm(self.norm, self.planes, name="norm3")(y))
+        if self.stride != 1:
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                        kernel_init=kaiming_fan_out(), name="downsample")(x)
+            x = _Norm(self.norm, self.planes, name="norm4")(x)
+        return nn.relu(x + y)
+
+
+class SmallEncoder(nn.Module):
+    """1/8-resolution bottleneck extractor (reference extractor.py:195-266)."""
+
+    output_dim: int = 128
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(32, (7, 7), strides=2, padding=3,
+                    kernel_init=kaiming_fan_out(), name="conv1")(x)
+        y = nn.relu(_Norm(self.norm, 32, name="norm1")(y))
+        for i, (dim, stride) in enumerate(((32, 1), (64, 2), (96, 2))):
+            y = BottleneckBlock(dim, self.norm, stride,
+                                name=f"layer{i}_0")(y)
+            y = BottleneckBlock(dim, self.norm, 1, name=f"layer{i}_1")(y)
         return nn.Conv(self.output_dim, (1, 1),
                        kernel_init=kaiming_fan_out(), name="conv2")(y)
 
@@ -168,7 +227,6 @@ def _patch_bilinear_taps(vol: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
     dim) or per-tap scalar gathers are ~20-50x slower on TPU.
     """
     N, H, W = vol.shape
-    k = 2 * radius + 1
     P_y = min(2 * radius + 2, H)
 
     x0 = jnp.floor(cx)
@@ -181,27 +239,110 @@ def _patch_bilinear_taps(vol: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
         lambda v, a: jax.lax.dynamic_slice(v, (a, 0), (P_y, W))
     )(vol, sy)                                       # [N, P_y, W]
 
-    d = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
-
-    def axis_weights(c0, frac, start, size, P):
-        """[N, k, P] separable bilinear one-hot weight rows."""
-        t = c0[:, None].astype(jnp.int32) + d[None, :]        # corner-0 idx
-        valid0 = (t >= 0) & (t <= size - 1)
-        valid1 = (t + 1 >= 0) & (t + 1 <= size - 1)
-        l0 = jnp.clip(t - start[:, None], 0, P - 1)
-        l1 = jnp.clip(t + 1 - start[:, None], 0, P - 1)
-        ar = jnp.arange(P, dtype=jnp.int32)
-        w0 = (1 - frac)[:, None] * valid0.astype(vol.dtype)   # [N, k]
-        w1 = frac[:, None] * valid1.astype(vol.dtype)
-        oh0 = (ar[None, None, :] == l0[..., None]).astype(vol.dtype)
-        oh1 = (ar[None, None, :] == l1[..., None]).astype(vol.dtype)
-        return w0[..., None] * oh0 + w1[..., None] * oh1
-
     zero = jnp.zeros_like(sy)
-    wy = axis_weights(y0, fy, sy, H, P_y)            # [N, k, P_y]
-    wx = axis_weights(x0, fx, zero, W, W)            # [N, k, W]
+    wy = _axis_weights(y0, fy, sy, H, P_y, radius, vol.dtype)  # [N, k, P_y]
+    wx = _axis_weights(x0, fx, zero, W, W, radius, vol.dtype)  # [N, k, W]
     tmp = jnp.einsum("nbp,npq->nbq", wy, band)       # reduce y: [N, k, W]
     return jnp.einsum("naq,nbq->nab", wx, tmp)       # [N, dx, dy]
+
+
+def _axis_weights(c0, frac, start, size, P, radius, dtype):
+    """[N, k, P] separable bilinear one-hot weight rows (shared by the
+    pyramid and alternate lookups)."""
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    t = c0[:, None].astype(jnp.int32) + d[None, :]            # corner-0 idx
+    valid0 = (t >= 0) & (t <= size - 1)
+    valid1 = (t + 1 >= 0) & (t + 1 <= size - 1)
+    l0 = jnp.clip(t - start[:, None], 0, P - 1)
+    l1 = jnp.clip(t + 1 - start[:, None], 0, P - 1)
+    ar = jnp.arange(P, dtype=jnp.int32)
+    w0 = (1 - frac)[:, None] * valid0.astype(dtype)           # [N, k]
+    w1 = frac[:, None] * valid1.astype(dtype)
+    oh0 = (ar[None, None, :] == l0[..., None]).astype(dtype)
+    oh1 = (ar[None, None, :] == l1[..., None]).astype(dtype)
+    return w0[..., None] * oh0 + w1[..., None] * oh1
+
+
+# ---------------- memory-efficient (alternate) correlation ----------------
+
+def build_fmap_pyramid(fmap2: jnp.ndarray, num_levels: int = 4):
+    """Average-pooled FEATURE pyramid — [B, H_i, W_i, C] per level. The
+    alternate path pools features instead of the correlation volume
+    (reference corr.py:62-70 pools fmap2 the same way)."""
+    pyr = [fmap2]
+    for _ in range(num_levels - 1):
+        pyr.append(nn.avg_pool(pyr[-1], (2, 2), strides=(2, 2)))
+    return pyr
+
+
+def lookup_corr_alternate(fmap1: jnp.ndarray, fmap2_pyramid,
+                          coords: jnp.ndarray, radius: int,
+                          chunk: int = 2048) -> jnp.ndarray:
+    """On-the-fly neighborhood correlation (the reference's alt_cuda_corr
+    contract, corr.py:62-84) — never materializes the [B*H*W, H, W]
+    all-pairs volume.
+
+    Per pixel chunk and pyramid level: gather a (2r+2)-row y-band of
+    fmap2, contract with the pixel's fmap1 vector over channels (one MXU
+    matmul -> full-row correlations), then apply the same separable
+    bilinear tap weights as the pyramid path. Peak memory is
+    chunk * (2r+2) * W_i * C * 4 bytes instead of (B*H*W) * H_i * W_i * 4
+    — resolution-independent in the number of pixels.
+
+    Returns [B, H, W, levels*(2r+1)^2], bit-matching lookup_corr_pyramid
+    up to f32 reassociation (pooling commutes with the channel
+    contraction because avg_pool is linear).
+    """
+    B, H, W, C = fmap1.shape
+    N = B * H * W
+    k = 2 * radius + 1
+    scale = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
+    f1 = fmap1.reshape(N, C)
+    bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), H * W)
+    flat = coords.reshape(N, 2)
+    pad = (-N) % chunk
+
+    def padded(a):
+        if not pad:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+    outs = []
+    for i, f2 in enumerate(fmap2_pyramid):
+        Hi, Wi = f2.shape[1:3]
+        P_y = min(2 * radius + 2, Hi)
+        cx = flat[:, 0] / (2 ** i)
+        cy = flat[:, 1] / (2 ** i)
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        fx = (cx - x0).astype(f2.dtype)
+        fy = (cy - y0).astype(f2.dtype)
+        sy = jnp.clip(y0 - radius, 0, Hi - P_y).astype(jnp.int32)
+
+        args = jax.tree_util.tree_map(
+            lambda a: padded(a).reshape(-1, chunk, *a.shape[1:]),
+            (f1, bidx, sy, x0, y0, fx, fy))
+
+        def chunk_fn(a, f2=f2, Hi=Hi, Wi=Wi, P_y=P_y):
+            f1c, bc, syc, x0c, y0c, fxc, fyc = a
+            band = jax.vmap(lambda b, s: jax.lax.dynamic_slice(
+                f2, (b, s, 0, 0), (1, P_y, Wi, C))[0])(bc, syc)
+            rowcorr = jnp.einsum(
+                "npqc,nc->npq", band, f1c,
+                preferred_element_type=jnp.float32) * scale
+            zero = jnp.zeros_like(syc)
+            wy = _axis_weights(y0c, fyc, syc, Hi, P_y, radius,
+                               rowcorr.dtype)
+            wx = _axis_weights(x0c, fxc, zero, Wi, Wi, radius,
+                               rowcorr.dtype)
+            tmp = jnp.einsum("nbp,npq->nbq", wy, rowcorr)
+            return jnp.einsum("naq,nbq->nab", wx, tmp).reshape(-1, k * k)
+
+        taps = jax.lax.map(chunk_fn, args).reshape(-1, k * k)[:N]
+        outs.append(taps)
+    return jnp.concatenate(outs, axis=-1).reshape(
+        B, H, W, len(fmap2_pyramid) * k * k)
 
 
 def _bilinear_volume_sample(vol: jnp.ndarray, x: jnp.ndarray,
@@ -265,6 +406,57 @@ class SepConvGRU(nn.Module):
         return h
 
 
+class SmallMotionEncoder(nn.Module):
+    """(corr, flow) -> 82-channel motion features
+    (reference update.py:62-77)."""
+
+    cfg: RAFTConfig
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        co = nn.relu(nn.Conv(96, (1, 1), name="convc1")(corr))
+        fl = nn.relu(nn.Conv(64, (7, 7), padding=3, name="convf1")(flow))
+        fl = nn.relu(nn.Conv(32, (3, 3), padding=1, name="convf2")(fl))
+        out = nn.relu(nn.Conv(80, (3, 3), padding=1, name="conv")(
+            jnp.concatenate([co, fl], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)  # 82 channels
+
+
+class ConvGRU(nn.Module):
+    """Plain 3x3 ConvGRU (reference update.py:16-31)."""
+
+    hidden: int = 96
+
+    @nn.compact
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(nn.Conv(self.hidden, (3, 3), padding=1,
+                               name="convz")(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden, (3, 3), padding=1,
+                               name="convr")(hx))
+        q = jnp.tanh(nn.Conv(self.hidden, (3, 3), padding=1,
+                             name="convq")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class SmallUpdateBlock(nn.Module):
+    """Small-variant update: motion encoder + plain GRU + flow head, no
+    upsample-mask head (reference update.py:99-112 returns mask None ->
+    bilinear x8 upsampling)."""
+
+    cfg: RAFTConfig
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = SmallMotionEncoder(self.cfg, name="encoder")(flow, corr)
+        gru_in = jnp.concatenate([inp, motion], axis=-1)
+        net = ConvGRU(self.cfg.hidden_dim, name="gru")(net, gru_in)
+        d = nn.relu(nn.Conv(128, (3, 3), padding=1, name="flow_conv1")(net))
+        delta = nn.Conv(2, (3, 3), padding=1, name="flow_conv2")(d)
+        return net, None, delta
+
+
 class BasicUpdateBlock(nn.Module):
     """Motion encoder + GRU + flow head + upsample-mask head
     (reference update.py:114-136)."""
@@ -288,6 +480,26 @@ def coords_grid(b: int, h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
                           jnp.arange(w, dtype=dtype), indexing="ij")
     grid = jnp.stack([xs, ys], axis=-1)  # (x, y)
     return jnp.broadcast_to(grid[None], (b, h, w, 2))
+
+
+def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear x8 upsampling for the small variant
+    (reference utils/utils.py upflow8: 8 * interpolate(mode='bilinear',
+    align_corners=True))."""
+    B, H, W, _ = flow.shape
+    # align_corners=True bilinear == resize with 'linear' on the corner grid
+    ys = jnp.linspace(0.0, H - 1.0, 8 * H)
+    xs = jnp.linspace(0.0, W - 1.0, 8 * W)
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 2).astype(jnp.int32)
+    wy = (ys - y0)[None, :, None, None].astype(flow.dtype)
+    wx = (xs - x0)[None, None, :, None].astype(flow.dtype)
+    rows0 = jnp.take(flow, y0, axis=1)
+    rows1 = jnp.take(flow, y0 + 1, axis=1)
+    rows = rows0 * (1 - wy) + rows1 * wy
+    cols0 = jnp.take(rows, x0, axis=2)
+    cols1 = jnp.take(rows, x0 + 1, axis=2)
+    return 8.0 * (cols0 * (1 - wx) + cols1 * wx)
 
 
 def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -322,32 +534,51 @@ class RAFT(nn.Module):
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
 
-        fnet = BasicEncoder(256, "instance", name="fnet")
+        if cfg.small:
+            fnet = SmallEncoder(128, "instance", name="fnet")
+            cnet_mod = SmallEncoder(cfg.hidden_dim + cfg.context_dim,
+                                    "none", name="cnet")
+            update = SmallUpdateBlock(cfg, name="update_block")
+        else:
+            fnet = BasicEncoder(256, "instance", name="fnet")
+            cnet_mod = BasicEncoder(cfg.hidden_dim + cfg.context_dim,
+                                    "batch", name="cnet")
+            update = BasicUpdateBlock(cfg, name="update_block")
+
         both = jnp.concatenate([image1, image2], axis=0)
         fmaps = fnet(both)
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         fmap1 = fmap1.astype(jnp.float32)
         fmap2 = fmap2.astype(jnp.float32)
-        pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
+        if cfg.alternate_corr:
+            pyramid = build_fmap_pyramid(fmap2, cfg.corr_levels)
+        else:
+            pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
 
-        cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim, "batch",
-                            name="cnet")(image1)
+        cnet = cnet_mod(image1)
         net = jnp.tanh(cnet[..., :cfg.hidden_dim])
         inp = nn.relu(cnet[..., cfg.hidden_dim:])
 
         B, H8, W8, _ = fmap1.shape
         coords0 = coords_grid(B, H8, W8)
 
-        update = BasicUpdateBlock(cfg, name="update_block")
-
         def step(carry, _):
             net, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)
-            corr = lookup_corr_pyramid(pyramid, coords1, cfg.corr_radius)
+            if cfg.alternate_corr:
+                corr = lookup_corr_alternate(fmap1, pyramid, coords1,
+                                             cfg.corr_radius,
+                                             chunk=cfg.corr_chunk)
+            else:
+                corr = lookup_corr_pyramid(pyramid, coords1,
+                                           cfg.corr_radius)
             flow = coords1 - coords0
             net, mask, delta = update(net, inp, corr, flow)
             coords1 = coords1 + delta
-            flow_up = upsample_flow_convex(coords1 - coords0, mask)
+            if mask is None:  # small variant: bilinear x8
+                flow_up = upflow8(coords1 - coords0)
+            else:
+                flow_up = upsample_flow_convex(coords1 - coords0, mask)
             return (net, coords1), flow_up
 
         # lax.scan needs the module bound; under nn.compact use nn.scan-free

@@ -153,7 +153,10 @@ class Models:
                       else jnp.float32)
         # --- RAFT ---
         self.raft_iters = getattr(args, "raft_iters", 20)
-        self.raft = raft_mod.RAFT(raft_mod.RAFTConfig(iters=self.raft_iters))
+        self.raft = raft_mod.RAFT(raft_mod.RAFTConfig(
+            iters=self.raft_iters,
+            small=bool(getattr(args, "small", False)),
+            alternate_corr=bool(getattr(args, "alternate_corr", False))))
         dummy = jnp.zeros((1, 64, 64, 3))
         # jit the init: eager init dispatches thousands of tiny ops, which
         # is pathological over a high-latency device tunnel
@@ -165,7 +168,9 @@ class Models:
             logger.info("RAFT weights loaded from %s", raft_path)
         elif raft_path and os.path.exists(raft_path) and raft_path.endswith((".pth", ".tar")):
             from fgt_tpu.convert.torch2jax import convert_raft_checkpoint
-            self.raft_vars = convert_raft_checkpoint(raft_path, self.raft_vars)
+            self.raft_vars = convert_raft_checkpoint(
+                raft_path, self.raft_vars,
+                small=bool(getattr(args, "small", False)))
             logger.info("RAFT weights converted from torch: %s", raft_path)
         else:
             logger.warning("RAFT weights not found (%s); using random init",
@@ -903,6 +908,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--raft_model", default="checkpoints/raft/raft.msgpack")
     p.add_argument("--small", action="store_true")
     p.add_argument("--mixed_precision", action="store_true")
+    p.add_argument("--alternate_corr", action="store_true",
+                   help="memory-efficient on-the-fly correlation (no "
+                        "all-pairs volume; reference alt_cuda_corr "
+                        "contract)")
     p.add_argument("--lafc_ckpts", type=str, default="checkpoints/lafc")
     p.add_argument("--fgt_ckpts", type=str, default="checkpoints/fgt")
     p.add_argument("--H_scale", type=float, default=2)

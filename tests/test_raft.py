@@ -1,3 +1,4 @@
+import functools
 import jax
 import pytest
 import jax.numpy as jnp
@@ -105,3 +106,68 @@ def test_lookup_matches_scalar_tap_reference():
         want = np.asarray(scalar_lookup(pyr, coords, radius))
         got = np.asarray(lookup_corr_pyramid(pyr, coords, radius))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.heavy
+def test_raft_small_forward():
+    """--small variant (reference raft.py:29-58): bottleneck encoders,
+    plain ConvGRU, bilinear x8 upsampling."""
+    from fgt_tpu.models.raft import RAFT, RAFTConfig
+
+    cfg = RAFTConfig(iters=2, small=True)
+    assert cfg.hidden_dim == 96 and cfg.corr_radius == 3
+    model = RAFT(cfg)
+    a = jnp.zeros((1, 64, 96, 3))
+    variables = jax.jit(functools.partial(model.init, iters=1))(
+        jax.random.PRNGKey(0), a, a)
+    rng = np.random.RandomState(0)
+    i1 = jnp.asarray(rng.rand(1, 64, 96, 3) * 255)
+    i2 = jnp.asarray(rng.rand(1, 64, 96, 3) * 255)
+    low, up = model.apply(variables, i1, i2, iters=2, test_mode=True)
+    assert low.shape == (1, 8, 12, 2)
+    assert up.shape == (1, 64, 96, 2)
+    assert np.isfinite(np.asarray(up)).all()
+
+
+def test_alternate_corr_matches_pyramid():
+    """The memory-efficient on-the-fly correlation must reproduce the
+    all-pairs pyramid lookup (they are algebraically identical: avg_pool
+    is linear, so pooling corr == correlating pooled features)."""
+    from fgt_tpu.models.raft import (build_corr_pyramid, build_fmap_pyramid,
+                                     lookup_corr_alternate,
+                                     lookup_corr_pyramid)
+
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 16, 24, 32
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    coords = jnp.asarray(
+        rng.rand(B, H, W, 2).astype(np.float32)
+        * np.asarray([W - 1, H - 1], np.float32))
+
+    pyr = build_corr_pyramid(f1, f2, 4)
+    want = np.asarray(lookup_corr_pyramid(pyr, coords, radius=4))
+
+    fpyr = build_fmap_pyramid(f2, 4)
+    got = np.asarray(lookup_corr_alternate(f1, fpyr, coords, radius=4,
+                                           chunk=128))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.heavy
+def test_raft_alternate_corr_end_to_end():
+    """RAFT(alternate_corr=True) matches RAFT(False) with identical
+    weights."""
+    from fgt_tpu.models.raft import RAFT, RAFTConfig
+
+    rng = np.random.RandomState(1)
+    i1 = jnp.asarray(rng.rand(1, 32, 48, 3) * 255)
+    i2 = jnp.asarray(rng.rand(1, 32, 48, 3) * 255)
+    base = RAFT(RAFTConfig(iters=2))
+    variables = jax.jit(functools.partial(base.init, iters=1))(
+        jax.random.PRNGKey(0), i1, i2)
+    _, up_a = base.apply(variables, i1, i2, iters=2, test_mode=True)
+    alt = RAFT(RAFTConfig(iters=2, alternate_corr=True, corr_chunk=16))
+    _, up_b = alt.apply(variables, i1, i2, iters=2, test_mode=True)
+    np.testing.assert_allclose(np.asarray(up_a), np.asarray(up_b),
+                               atol=1e-3, rtol=1e-3)

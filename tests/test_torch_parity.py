@@ -295,3 +295,36 @@ def test_lafc_forward_parity_full_scale():
                                rf.numpy(), atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(oe).transpose(0, 3, 1, 2),
                                re.numpy(), atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_raft_small_forward_parity():
+    """--small variant parity (reference raft.py:29-58 + SmallEncoder +
+    SmallUpdateBlock) with converted random weights."""
+    import argparse
+
+    raft_pkg = _import_from([REF], "RAFT")
+    torch.manual_seed(0)
+    args = argparse.Namespace(small=True, mixed_precision=False,
+                              alternate_corr=False, dropout=0)
+    ref = raft_pkg.RAFT(args).eval()
+    state = {k: v for k, v in ref.state_dict().items()}
+
+    from fgt_tpu.convert.torch2jax import apply_mapping, raft_small_mapping
+    from fgt_tpu.models.raft import RAFT as JaxRAFT, RAFTConfig
+
+    rng = np.random.RandomState(3)
+    img1 = (rng.rand(1, 3, 128, 136) * 255).astype(np.float32)
+    img2 = (rng.rand(1, 3, 128, 136) * 255).astype(np.float32)
+    with torch.no_grad():
+        _, ref_up = ref(torch.from_numpy(img1), torch.from_numpy(img2),
+                        iters=3, test_mode=True)
+
+    jm = JaxRAFT(RAFTConfig(iters=3, small=True))
+    j1 = jnp.asarray(img1.transpose(0, 2, 3, 1))
+    j2 = jnp.asarray(img2.transpose(0, 2, 3, 1))
+    variables = jm.init(jax.random.PRNGKey(0), j1, j2, iters=1)
+    variables = apply_mapping(variables, state, raft_small_mapping())
+    _, up = jm.apply(variables, j1, j2, iters=3)
+    np.testing.assert_allclose(np.asarray(up).transpose(0, 3, 1, 2),
+                               ref_up.numpy(), atol=5e-4, rtol=1e-3)
