@@ -170,3 +170,23 @@ def test_stroke_masks_seed_reproducible():
         np.testing.assert_array_equal(ma, mb)
     c = get_video_masks_by_moving_random_stroke(5, 64, 48, nStroke=3, seed=8)
     assert any((ma != mc).any() for ma, mc in zip(a, c))
+
+
+def test_progress_bar_non_tty(capsys):
+    """ProgressBar degrades to periodic log lines on non-tty streams and
+    always logs the final task (reference util.py:233-281 surface)."""
+    import io
+
+    from fgt_tpu.utils.progress import Progbar, ProgressBar
+
+    buf = io.StringIO()
+    bar = ProgressBar(task_num=3, stream=buf)
+    for _ in range(3):
+        bar.update("step")
+    out = buf.getvalue()
+    assert "3/3" in out and "100%" in out
+
+    buf2 = io.StringIO()
+    pb = Progbar(target=2, stream=buf2)
+    pb.add(2, values=[("loss", 0.5)])
+    assert "2/2" in buf2.getvalue()

@@ -210,3 +210,36 @@ def test_fusion_ffn_shapes():
     p = m.init(jax.random.PRNGKey(0), x, output_size)
     y = m.apply(p, x, output_size)
     assert y.shape == (2, n, 64)
+
+
+def test_recon_layers_shapes_and_residual():
+    """ResBlock_noBN_new / CCALayer library blocks
+    (reference reconstructionLayers.py:64-128)."""
+    import jax
+
+    from fgt_tpu.ops.recon_layers import (CCALayer, ResBlockNoBNNew,
+                                          mean_channels, stdv_channels)
+
+    rng = np.random.RandomState(0)
+    x2 = jnp.asarray(rng.randn(2, 12, 16, 8).astype(np.float32))
+    cca = CCALayer(8)
+    v = cca.init(jax.random.PRNGKey(0), x2)
+    y = cca.apply(v, x2)
+    assert y.shape == x2.shape
+
+    x3 = jnp.asarray(rng.randn(1, 2, 20, 24, 8).astype(np.float32))
+    blk = ResBlockNoBNNew(8)
+    v3 = blk.init(jax.random.PRNGKey(1), x3)
+    y3 = blk.apply(v3, x3)
+    assert y3.shape == x3.shape
+    # zero-init final conv would make it identity; perturbed input changes out
+    assert np.isfinite(np.asarray(y3)).all()
+
+    m = mean_channels(x2)
+    s = stdv_channels(x2)
+    np.testing.assert_allclose(np.asarray(m)[0, 0, 0],
+                               np.asarray(x2)[0].mean(axis=(0, 1)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s)[0, 0, 0],
+                               np.asarray(x2)[0].std(axis=(0, 1)),
+                               rtol=1e-4)
