@@ -749,7 +749,20 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
 
     # under --dp, chunk sizes scale to the mesh so batches stay shardable
     ndev = models.mesh.devices.size if models.mesh is not None else 1
-    raft_chunk = max(getattr(args, "raft_chunk", 4), ndev)
+    # batching defaults are tuned for 240x432 (flows at 864x480); scale
+    # them down with the pixel count of the tensors each stage actually
+    # holds, so high-res runs (e.g. 480x864 outpainting canvases) stay
+    # inside HBM. Explicit flags always win.
+    def _auto(flag, base, h, w, base_h, base_w):
+        v = getattr(args, flag, None)
+        if v is None:
+            v = max(1, int(base * (base_h * base_w) / float(h * w)))
+            logger.info("auto %s=%d for %dx%d", flag, v, w, h)
+        return max(v, ndev)
+
+    # RAFT memory scales with the FLOW resolution (864x480 at the default
+    # 432x240 input because of the 2x upscale rule)
+    raft_chunk = _auto("raft_chunk", 4, flow_h, flow_w, 480, 864)
     with timer.stage("s1_raft"):
         device_resize = not getattr(args, "cpu_flow_resize", False)
         flows_f = calculate_flows(models, video_flow, "forward", img_h, img_w,
@@ -774,12 +787,15 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
                 args.path_mask, img_h, img_w, args.flow_mask_dilates,
                 args.frame_dilates)
 
+    # img_h/img_w may have grown under extrapolation — size the LAFC and
+    # FGT batches to the CURRENT canvas
+    lafc_chunk = _auto("lafc_chunk", 8, img_h, img_w, 240, 432)
     with timer.stage("s2_lafc"):
         fm = flow_mask[..., None].astype(np.float32)
         videoFlowF = complete_flows(models, flows_f, fm, "forward",
-                                    chunk=max(getattr(args, "lafc_chunk", 8), ndev))
+                                    chunk=lafc_chunk)
         videoFlowB = complete_flows(models, flows_b, fm, "backward",
-                                    chunk=max(getattr(args, "lafc_chunk", 8), ndev))
+                                    chunk=lafc_chunk)
     logger.info("flow completion done")
 
     if getattr(args, "vis_completed_flows", False):
@@ -793,7 +809,7 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
         with timer.stage("s3b_nonlocal_flows"):
             nl_f, nl_b = calculate_nonlocal_flows(
                 models, video_flow, img_h, img_w, iters=models.raft_iters,
-                chunk=max(getattr(args, "raft_chunk", 4), ndev))
+                chunk=raft_chunk)
             # propagation layout [H, W, 2, 3, N]
             nl_f_t = nl_f.transpose(2, 3, 4, 1, 0)
             nl_b_t = nl_b.transpose(2, 3, 4, 1, 0)
@@ -851,7 +867,7 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
             neighbor_stride=args.neighbor_stride, step=args.step,
             num_ref=args.num_ref,
             exact_windows=getattr(args, "exact_windows", False),
-            window_batch=max(getattr(args, "window_batch", 4), ndev))
+            window_batch=_auto("window_batch", 4, img_h, img_w, 240, 432))
 
     with timer.stage("s7_write"):
         os.makedirs(args.outroot, exist_ok=True)
@@ -923,10 +939,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--step", type=int, default=10)
     p.add_argument("--num_ref", type=int, default=-1)
     p.add_argument("--neighbor_stride", type=int, default=5)
-    p.add_argument("--raft_chunk", type=int, default=4)
+    p.add_argument("--raft_chunk", type=int, default=None)
     p.add_argument("--raft_iters", type=int, default=20)
-    p.add_argument("--lafc_chunk", type=int, default=8)
-    p.add_argument("--window_batch", type=int, default=4,
+    p.add_argument("--lafc_chunk", type=int, default=None)
+    p.add_argument("--window_batch", type=int, default=None,
                    help="FGT windows per batched forward")
     p.add_argument("--exact_windows", action="store_true",
                    help="reproduce the reference's per-window shapes "
