@@ -18,15 +18,15 @@
 #include <omp.h>
 #endif
 
-extern "C" {
-
 // Solve the discrete Laplace equation on mask pixels of img (H x W,
 // float64, row-major) with Dirichlet data from the known 4-neighbors.
 // Red-black SOR; matches the sparse solve of fgt_tpu.core.region_fill
 // (diag = number of in-image neighbors, rhs = sum of known-neighbor
-// values). Returns the iteration count.
-int laplace_fill(double* img, const uint8_t* mask, int H, int W,
-                 double tol, int max_iter) {
+// values). `warm` keeps the caller's hole values as the starting guess
+// (multigrid prolongation) instead of zeroing them. Returns the
+// iteration count.
+static int sor_relax(double* img, const uint8_t* mask, int H, int W,
+                     double tol, int max_iter, bool warm) {
   std::vector<double> rhs(static_cast<size_t>(H) * W, 0.0);
   std::vector<float> diag(static_cast<size_t>(H) * W, 0.0f);
   std::vector<int> holes;
@@ -50,7 +50,7 @@ int laplace_fill(double* img, const uint8_t* mask, int H, int W,
       }
       rhs[p] = b;
       diag[p] = d;
-      img[p] = 0.0;  // init: zeroed hole (diffusion contract)
+      if (!warm) img[p] = 0.0;  // init: zeroed hole (diffusion contract)
     }
   }
   if (holes.empty()) return 0;
@@ -94,6 +94,234 @@ int laplace_fill(double* img, const uint8_t* mask, int H, int W,
   return it;
 }
 
+// ---------------------------------------------------------------------
+// Geometric multigrid Laplace solve on irregular hole domains.
+//
+// Plain zero-init SOR needs O(diameter^2) sweeps on large holes (a
+// 300k-px outpainting border hole at 864x480 costs ~19 s). V-cycles on
+// a mask-coarsened hierarchy converge at a rate independent of hole
+// size: red-black Gauss-Seidel smoothing, summed 2x2 residual
+// restriction (correct scaling for the unscaled 5-point graph
+// Laplacian), bilinear error prolongation. The fixed point is the same
+// linear system as sor_relax / the scipy sparse solve, so results agree
+// with the direct solve to the residual tolerance.
+
+struct MGLevel {
+  int H, W;
+  std::vector<uint8_t> mask;  // 1 = unknown (hole)
+  std::vector<float> diag;    // # in-image neighbors, hole px only
+  std::vector<int> holes;     // flat indices of hole px
+};
+
+static MGLevel make_level(const uint8_t* mask, int H, int W) {
+  MGLevel g;
+  g.H = H;
+  g.W = W;
+  g.mask.assign(mask, mask + static_cast<size_t>(H) * W);
+  g.diag.assign(static_cast<size_t>(H) * W, 0.0f);
+  for (int y = 0; y < H; ++y) {
+    for (int x = 0; x < W; ++x) {
+      const size_t p = static_cast<size_t>(y) * W + x;
+      if (!mask[p]) continue;
+      g.holes.push_back(static_cast<int>(p));
+      float d = 0.0f;
+      if (y > 0) d += 1.0f;
+      if (y < H - 1) d += 1.0f;
+      if (x > 0) d += 1.0f;
+      if (x < W - 1) d += 1.0f;
+      g.diag[p] = d;
+    }
+  }
+  return g;
+}
+
+// coarse px is hole only when its whole 2x2 fine block is hole, so the
+// Dirichlet boundary geometry survives coarsening (error = 0 on known px)
+static MGLevel coarsen(const MGLevel& f) {
+  const int Hc = f.H / 2, Wc = f.W / 2;
+  std::vector<uint8_t> mc(static_cast<size_t>(Hc) * Wc, 0);
+  for (int yc = 0; yc < Hc; ++yc) {
+    for (int xc = 0; xc < Wc; ++xc) {
+      bool all_hole = true;
+      for (int dy = 0; dy < 2 && all_hole; ++dy)
+        for (int dx = 0; dx < 2 && all_hole; ++dx) {
+          const int y = 2 * yc + dy, x = 2 * xc + dx;
+          if (y >= f.H || x >= f.W) continue;
+          if (!f.mask[static_cast<size_t>(y) * f.W + x]) all_hole = false;
+        }
+      if (all_hole) mc[static_cast<size_t>(yc) * Wc + xc] = 1;
+    }
+  }
+  return make_level(mc.data(), Hc, Wc);
+}
+
+// red-black Gauss-Seidel sweeps of diag*x - sum(hole neighbors) = b;
+// known px never contribute (their x is 0 / folded into b by the caller)
+static void mg_smooth(const MGLevel& g, std::vector<double>& x,
+                      const std::vector<double>& b, int sweeps) {
+  const int W = g.W;
+  for (int s = 0; s < sweeps; ++s) {
+    for (int color = 0; color < 2; ++color) {
+      for (size_t h = 0; h < g.holes.size(); ++h) {
+        const int p = g.holes[h];
+        const int y = p / W, x_ = p % W;
+        if (((y + x_) & 1) != color) continue;
+        double acc = b[p];
+        if (y > 0 && g.mask[p - W]) acc += x[p - W];
+        if (y < g.H - 1 && g.mask[p + W]) acc += x[p + W];
+        if (x_ > 0 && g.mask[p - 1]) acc += x[p - 1];
+        if (x_ < W - 1 && g.mask[p + 1]) acc += x[p + 1];
+        x[p] = acc / g.diag[p];
+      }
+    }
+  }
+}
+
+static double mg_residual(const MGLevel& g, const std::vector<double>& x,
+                          const std::vector<double>& b,
+                          std::vector<double>& r) {
+  const int W = g.W;
+  double rmax = 0.0;
+  std::fill(r.begin(), r.end(), 0.0);
+  for (size_t h = 0; h < g.holes.size(); ++h) {
+    const int p = g.holes[h];
+    const int y = p / W, x_ = p % W;
+    double acc = b[p] - g.diag[p] * x[p];
+    if (y > 0 && g.mask[p - W]) acc += x[p - W];
+    if (y < g.H - 1 && g.mask[p + W]) acc += x[p + W];
+    if (x_ > 0 && g.mask[p - 1]) acc += x[p - 1];
+    if (x_ < W - 1 && g.mask[p + 1]) acc += x[p + 1];
+    r[p] = acc;
+    const double a = std::fabs(acc);
+    if (a > rmax) rmax = a;
+  }
+  return rmax;
+}
+
+static void mg_vcycle(const std::vector<MGLevel>& levels, size_t l,
+                      std::vector<std::vector<double>>& xs,
+                      std::vector<std::vector<double>>& bs,
+                      std::vector<std::vector<double>>& rs) {
+  const MGLevel& g = levels[l];
+  if (l + 1 == levels.size()) {
+    // coarsest: smooth to convergence (domain is tiny)
+    mg_smooth(g, xs[l], bs[l], 200);
+    return;
+  }
+  mg_smooth(g, xs[l], bs[l], 2);
+  mg_residual(g, xs[l], bs[l], rs[l]);
+
+  const MGLevel& c = levels[l + 1];
+  // restriction: SUM the 2x2 fine residuals (4x the average — the
+  // correct inter-grid scaling for the h-free 5-point operator)
+  std::fill(bs[l + 1].begin(), bs[l + 1].end(), 0.0);
+  for (size_t h = 0; h < c.holes.size(); ++h) {
+    const int pc = c.holes[h];
+    const int yc = pc / c.W, xc = pc % c.W;
+    double sum = 0.0;
+    for (int dy = 0; dy < 2; ++dy)
+      for (int dx = 0; dx < 2; ++dx) {
+        const int y = 2 * yc + dy, x = 2 * xc + dx;
+        if (y >= g.H || x >= g.W) continue;
+        sum += rs[l][static_cast<size_t>(y) * g.W + x];
+      }
+    bs[l + 1][pc] = sum;
+  }
+  std::fill(xs[l + 1].begin(), xs[l + 1].end(), 0.0);
+  mg_vcycle(levels, l + 1, xs, bs, rs);
+
+  // prolongation: bilinear error interpolation added into the fine hole
+  // (coarse px (yc, xc) sits at fine (2*yc + 0.5, 2*xc + 0.5))
+  const std::vector<double>& e = xs[l + 1];
+  for (size_t h = 0; h < g.holes.size(); ++h) {
+    const int p = g.holes[h];
+    const int y = p / g.W, x = p % g.W;
+    double fy = (y - 0.5) / 2.0, fx = (x - 0.5) / 2.0;
+    if (fy < 0) fy = 0;
+    if (fx < 0) fx = 0;
+    if (fy > c.H - 1) fy = c.H - 1;
+    if (fx > c.W - 1) fx = c.W - 1;
+    const int y0 = static_cast<int>(fy), x0 = static_cast<int>(fx);
+    const int y1 = y0 + 1 < c.H ? y0 + 1 : y0;
+    const int x1 = x0 + 1 < c.W ? x0 + 1 : x0;
+    const double wy = fy - y0, wx = fx - x0;
+    xs[l][p] += (1 - wy) * ((1 - wx) * e[static_cast<size_t>(y0) * c.W + x0]
+                            + wx * e[static_cast<size_t>(y0) * c.W + x1])
+              + wy * ((1 - wx) * e[static_cast<size_t>(y1) * c.W + x0]
+                      + wx * e[static_cast<size_t>(y1) * c.W + x1]);
+  }
+  mg_smooth(g, xs[l], bs[l], 2);
+}
+
+static int laplace_fmg(double* img, const uint8_t* mask, int H, int W,
+                       double tol, int max_iter) {
+  const size_t plane = static_cast<size_t>(H) * W;
+  size_t nhole = 0;
+  for (size_t p = 0; p < plane; ++p) nhole += mask[p] ? 1 : 0;
+  if (nhole == 0) return 0;
+  if (nhole < 2048 || H < 32 || W < 32)
+    return sor_relax(img, mask, H, W, tol, max_iter, /*warm=*/false);
+
+  std::vector<MGLevel> levels;
+  levels.push_back(make_level(mask, H, W));
+  while (levels.back().holes.size() > 512 && levels.back().H >= 32 &&
+         levels.back().W >= 32)
+    levels.push_back(coarsen(levels.back()));
+
+  std::vector<std::vector<double>> xs, bs, rs;
+  for (const MGLevel& g : levels) {
+    const size_t n = static_cast<size_t>(g.H) * g.W;
+    xs.emplace_back(n, 0.0);
+    bs.emplace_back(n, 0.0);
+    rs.emplace_back(n, 0.0);
+  }
+
+  // fine-level rhs: Dirichlet contributions from known neighbors;
+  // unknowns start at 0 (same contract as sor_relax)
+  double bscale = 1e-12;
+  for (size_t h = 0; h < levels[0].holes.size(); ++h) {
+    const int p = levels[0].holes[h];
+    const int y = p / W, x = p % W;
+    double b = 0.0;
+    if (y > 0 && !mask[p - W]) b += img[p - W];
+    if (y < H - 1 && !mask[p + W]) b += img[p + W];
+    if (x > 0 && !mask[p - 1]) b += img[p - 1];
+    if (x < W - 1 && !mask[p + 1]) b += img[p + 1];
+    bs[0][p] = b;
+    const double a = std::fabs(b);
+    if (a > bscale) bscale = a;
+  }
+
+  // V-cycles to a residual tolerance relative to the boundary-data
+  // scale (each cycle contracts the residual ~10x)
+  const int max_cycles = 50;
+  int cycles = 0;
+  for (; cycles < max_cycles; ++cycles) {
+    mg_vcycle(levels, 0, xs, bs, rs);
+    const double rmax = mg_residual(levels[0], xs[0], bs[0], rs[0]);
+    if (rmax < tol * bscale) break;
+  }
+  for (size_t h = 0; h < levels[0].holes.size(); ++h) {
+    const int p = levels[0].holes[h];
+    img[p] = xs[0][p];
+  }
+  return cycles + 1;
+}
+
+extern "C" {
+
+int laplace_fill(double* img, const uint8_t* mask, int H, int W,
+                 double tol, int max_iter) {
+  return sor_relax(img, mask, H, W, tol, max_iter, /*warm=*/false);
+}
+
+// Exported multigrid variant (used by diffuse_flows; also bound in
+// fgt_tpu/native for direct calls).
+int laplace_fill_fmg(double* img, const uint8_t* mask, int H, int W,
+                     double tol, int max_iter) {
+  return laplace_fmg(img, mask, H, W, tol, max_iter);
+}
+
 // Batched diffusion: for every (frame, channel) of flows [N, H, W, C],
 // zero the hole, then laplace_fill. masks: [N, H, W] uint8. Parallel
 // across frames x channels.
@@ -110,7 +338,7 @@ void diffuse_flows(const float* flows, const uint8_t* masks, float* out,
       const uint8_t* m = masks + static_cast<size_t>(i) * plane;
       for (size_t p = 0; p < plane; ++p)
         img[p] = m[p] ? 0.0 : static_cast<double>(src[p * C]);
-      laplace_fill(img.data(), m, H, W, tol, max_iter);
+      laplace_fmg(img.data(), m, H, W, tol, max_iter);
       float* dst = out + (static_cast<size_t>(i) * plane) * C + c;
       for (size_t p = 0; p < plane; ++p)
         dst[p * C] = static_cast<float>(img[p]);

@@ -39,6 +39,21 @@ def test_diffuse_flows_matches_python_loop():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_diffuse_flows_multigrid_large_border_hole():
+    """Outpainting-style border holes (~70% of the canvas) go through the
+    V-cycle multigrid path; it must agree with the exact sparse solve.
+    (Zero-init SOR needed ~19 s per flow at 864x480; multigrid ~0.6 s.)"""
+    rng = np.random.RandomState(3)
+    h, w = 120, 216  # same hole geometry as 2x outpainting, 1/4 scale
+    mask = np.ones((1, h, w), bool)
+    mask[0, h // 4:3 * h // 4, w // 4:3 * w // 4] = False
+    flow = rng.randn(1, h, w, 2).astype(np.float32) * (~mask[..., None])
+    got = native.diffuse_flows(flow, mask)
+    want = np.stack([regionfill(flow[0, :, :, c], mask[0])
+                     for c in range(2)], -1)
+    np.testing.assert_allclose(got[0], want, atol=1e-4)
+
+
 def test_bilinear_interp_matches_cv2():
     rng = np.random.RandomState(2)
     img = rng.rand(30, 40, 3).astype(np.float32)
