@@ -193,23 +193,41 @@ class Models:
             logger.info("bf16 inference enabled")
 
         # multi-chip serving: shard the batched window/pair axis over a dp
-        # mesh (params + video replicated; XLA partitions the stage fns)
+        # mesh (params + video replicated; XLA partitions the stage fns).
+        # With --tp N the mesh gains a tensor-parallel axis and the FGT
+        # transformer weights are Megatron-sharded over it
+        # (fgt_tpu/parallel/partition.py) — heads/FFN-hidden split per
+        # device, XLA inserts the all-reduces. Beyond-reference: the
+        # reference's only scaling axis is batch DP (SURVEY.md §2.4).
         self.mesh = None
+        self.dp_size = 1
         self._dp_warned: set = set()
-        if getattr(args, "dp", False) and len(jax.devices()) > 1:
+        tp = int(getattr(args, "tp", 1) or 1)
+        if ((getattr(args, "dp", False) or tp > 1)
+                and len(jax.devices()) > 1):
             from fgt_tpu.parallel.mesh import make_mesh
+            from fgt_tpu.parallel.partition import (put_partitioned,
+                                                    tp_param_fraction)
 
-            self.mesh = make_mesh()
-            logger.info("dp inference over %d devices",
-                        self.mesh.devices.size)
+            self.mesh = make_mesh(tp=tp)
+            self.dp_size = int(self.mesh.devices.shape[0])
+            if tp > 1:
+                self.fgt_vars = put_partitioned(self.mesh, self.fgt_vars)
+                logger.info(
+                    "dp=%d x tp=%d inference mesh; %.0f%% of FGT params "
+                    "tp-sharded", self.dp_size, tp,
+                    100 * tp_param_fraction(self.mesh, self.fgt_vars))
+            else:
+                logger.info("dp inference over %d devices",
+                            self.mesh.devices.size)
 
     def shard_chunk(self, ids):
         """Place a window-index chunk with its batch axis dp-sharded
-        (replicated when the chunk doesn't divide the mesh)."""
+        (replicated when the chunk doesn't divide the dp axis)."""
         ids = jnp.asarray(ids)
         if self.mesh is None:
             return ids
-        if ids.shape[0] % self.mesh.devices.size:
+        if ids.shape[0] % self.dp_size:
             # loud, once per distinct size: a replicated chunk silently
             # loses the dp speedup — raise the chunk flags to a multiple
             # of the mesh size to keep every device busy
@@ -219,7 +237,7 @@ class Models:
                 logger.warning(
                     "--dp: chunk of %d does not divide the %d-device mesh; "
                     "running REPLICATED (no dp speedup) for this shape",
-                    ids.shape[0], self.mesh.devices.size)
+                    ids.shape[0], self.dp_size)
             return ids
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -748,7 +766,7 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
                 img_w, img_h, flow_w, flow_h)
 
     # under --dp, chunk sizes scale to the mesh so batches stay shardable
-    ndev = models.mesh.devices.size if models.mesh is not None else 1
+    ndev = models.dp_size
     # batching defaults are tuned for 240x432 (flows at 864x480); scale
     # them down with the pixel count of the tensors each stage actually
     # holds, so high-res runs (e.g. 480x864 outpainting canvases) stay
@@ -963,6 +981,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", action="store_true",
                    help="shard batched stage calls over all local "
                         "devices (multi-chip serving)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: Megatron-shard the FGT "
+                        "attention heads / FFN hidden over a tp mesh axis "
+                        "(combines with --dp; devices = dp*tp)")
     # bf16 is the default inference dtype (matmul accumulators stay f32):
     # ~2x on the RAFT stage, e2e delta vs f32 bounded by
     # tests/test_pipeline_e2e.py::test_bf16_end_to_end_bounded_delta.

@@ -131,6 +131,27 @@ def test_dp_inference_matches_single_device(tmp_path):
     assert np.abs(v1.astype(int) - v2.astype(int)).mean() < 1.0
 
 
+@pytest.mark.heavy
+def test_tp_inference_matches_single_device(tmp_path):
+    """--dp --tp 2 Megatron-shards the FGT weights over a (dp=4, tp=2)
+    CPU mesh; composited output must match the single-device path."""
+    frames, masks_dir = _make_data(tmp_path, n=8)
+    lafc_dir, fgt_dir = _make_ckpts(tmp_path)
+    argv = ["--mode", "object_removal", "--path", frames,
+            "--path_mask", masks_dir, "--imgH", "64", "--imgW", "64",
+            "--lafc_ckpts", lafc_dir, "--fgt_ckpts", fgt_dir,
+            "--window_batch", "8"]
+    a1 = vi.build_parser().parse_args(argv + ["--outroot",
+                                              str(tmp_path / "o1")])
+    out1 = vi.video_inpainting(a1)
+    a2 = vi.build_parser().parse_args(
+        argv + ["--outroot", str(tmp_path / "o2"), "--dp", "--tp", "2"])
+    out2 = vi.video_inpainting(a2)
+    v1 = np.stack(read_video(out1))
+    v2 = np.stack(read_video(out2))
+    assert np.abs(v1.astype(int) - v2.astype(int)).mean() < 1.0
+
+
 @pytest.mark.slow
 def test_bf16_end_to_end_bounded_delta(tmp_path):
     """--bf16 runs the whole pipeline and its output stays within a small
