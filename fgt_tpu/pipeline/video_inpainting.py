@@ -121,6 +121,27 @@ def _chunked(n: int, chunk: int):
         yield i, min(i + chunk, n)
 
 
+def _pipelined(thunks, depth: int = 2):
+    """Dispatch jitted stage calls ahead of the host fetch.
+
+    JAX dispatch is asynchronous: launching chunks ``i+1..i+depth``
+    before fetching chunk ``i`` overlaps device compute and D2H with the
+    host-side work, hiding the (tunnel) round-trip latency that a
+    synchronous np.asarray-per-chunk loop pays in full — the TPU-side
+    answer to the reference's per-pair python loop (SURVEY.md §3.3).
+    Yields fetched numpy arrays in order.
+    """
+    from collections import deque
+
+    q: deque = deque()
+    for thunk in thunks:
+        q.append(thunk())
+        if len(q) > depth:
+            yield np.asarray(q.popleft())
+    while q:
+        yield np.asarray(q.popleft())
+
+
 # ---------------- model loading ----------------
 
 DEFAULT_LAFC_CONFIG = {
@@ -413,16 +434,19 @@ def calculate_flows(models: Models, video: np.ndarray, mode: str,
         else:
             s_idx = np.arange(1, pairs + 1)
             d_idx = np.arange(pairs)
-        flows = []
-        for lo, hi in _chunked(pairs, chunk):
+        bounds = list(_chunked(pairs, chunk))
+
+        def mk(lo, hi):
             sel = np.arange(lo, hi)
             if hi - lo < chunk:  # pad to keep one compiled shape
                 sel = np.concatenate([sel, np.repeat(sel[-1:],
                                                      chunk - (hi - lo))])
-            out = np.asarray(models.raft_pairs_fn(
+            return lambda: models.raft_pairs_fn(
                 models.raft_vars, video_u8, models.shard_chunk(s_idx[sel]),
-                models.shard_chunk(d_idx[sel]), iters, img_h, img_w))
-            flows.append(out[:hi - lo])
+                models.shard_chunk(d_idx[sel]), iters, img_h, img_w)
+
+        flows = [out[:hi - lo] for (lo, hi), out in
+                 zip(bounds, _pipelined(mk(lo, hi) for lo, hi in bounds))]
         return np.concatenate(flows, axis=0)
 
     flows = []
@@ -464,15 +488,19 @@ def calculate_nonlocal_flows(models: Models, video: np.ndarray,
     video_u8 = jnp.asarray(np.clip(np.round(video), 0, 255).astype(np.uint8))
     out = {"f": [], "b": []}
     pairs = n * len(keys)
+    labels, thunks = [], []
     for lo, hi in _chunked(pairs, chunk):
         sel = np.arange(lo, hi)
         if hi - lo < chunk:  # pad to keep one compiled shape
             sel = np.concatenate([sel, np.repeat(sel[-1:], chunk - (hi - lo))])
         for name, s_idx, d_idx in (("f", t_idx, k_idx), ("b", k_idx, t_idx)):
-            o = np.asarray(models.raft_pairs_fn(
-                models.raft_vars, video_u8, models.shard_chunk(s_idx[sel]),
-                models.shard_chunk(d_idx[sel]), iters, img_h, img_w))
-            out[name].append(o[:hi - lo])
+            labels.append((name, hi - lo))
+            thunks.append(
+                lambda s=s_idx[sel], d=d_idx[sel]: models.raft_pairs_fn(
+                    models.raft_vars, video_u8, models.shard_chunk(s),
+                    models.shard_chunk(d), iters, img_h, img_w))
+    for (name, size), o in zip(labels, _pipelined(thunks)):
+        out[name].append(o[:size])
     nl_f = np.concatenate(out["f"], 0).reshape(n, len(keys), img_h, img_w, 2)
     nl_b = np.concatenate(out["b"], 0).reshape(n, len(keys), img_h, img_w, 2)
     return nl_f, nl_b
@@ -518,16 +546,19 @@ def complete_flows(models: Models, flows: np.ndarray, flow_masks: np.ndarray,
     masks_dev = jnp.asarray(masks.astype(np.float32))
     flows_dev = jnp.asarray(flows.astype(np.float32))
 
-    outs = []
-    for lo, hi in _chunked(t, chunk):
+    bounds = list(_chunked(t, chunk))
+
+    def mk(lo, hi):
         sel = ids[lo:hi]
         if hi - lo < chunk:
             sel = np.concatenate([sel, np.repeat(sel[-1:],
                                                  chunk - (hi - lo), 0)], 0)
-        out = np.asarray(models.lafc_window_fn(
+        return lambda: models.lafc_window_fn(
             models.lafc_vars, diffused_dev, masks_dev, flows_dev,
-            models.shard_chunk(sel)))
-        outs.append(out[:hi - lo])
+            models.shard_chunk(sel))
+
+    outs = [out[:hi - lo] for (lo, hi), out in
+            zip(bounds, _pipelined(mk(lo, hi) for lo, hi in bounds))]
     return np.concatenate(outs, 0)  # [t, H, W, 2], already composited
 
 
@@ -633,14 +664,19 @@ def fgt_synthesis(models: Models, frames: np.ndarray, masks: np.ndarray,
     flows_dev = jnp.asarray(flows.astype(np.float32))
 
     w_total = ids_mat.shape[0]
-    for lo, hi in _chunked(w_total, window_batch):
+    bounds = list(_chunked(w_total, window_batch))
+
+    def mk(lo, hi):
         sel = ids_mat[lo:hi]
         if hi - lo < window_batch:   # keep one compiled shape
             sel = np.concatenate(
                 [sel, np.repeat(sel[-1:], window_batch - (hi - lo), 0)], 0)
-        out = np.asarray(models.fgt_window_fn(
+        return lambda: models.fgt_window_fn(
             models.fgt_vars, video_u8, masks_u8, flows_dev,
-            models.shard_chunk(sel)))
+            models.shard_chunk(sel))
+
+    for (lo, hi), out in zip(bounds,
+                             _pipelined(mk(lo, hi) for lo, hi in bounds)):
         for w in range(hi - lo):
             composite(out[w], window_neighbors[lo + w])
     return list(comp_frames)
@@ -740,8 +776,10 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     """Run the full pipeline. Pass a resident ``models`` to amortize model
     construction + jit across videos (batch processing / serving)."""
     from fgt_tpu.utils.compile_cache import enable_compilation_cache
+    from fgt_tpu.utils.hostmem import retain_heap
 
     enable_compilation_cache()
+    retain_heap()   # slow-first-touch host: fault the heap once, recycle
     timer = StageTimer()
     LEDGER.reset()
     if getattr(args, "costs", False):

@@ -44,23 +44,34 @@ def archive_existing_dir(path: str) -> None:
 
 
 class StageTimer:
-    """Per-stage wall-clock accounting; dumps JSONL for the bench harness."""
+    """Per-stage wall-clock accounting; dumps JSONL for the bench harness.
+
+    Also tracks per-stage minor-page-fault deltas: on VM hosts whose
+    first-touch page serving is slow (measured ~9 MB/s here), fault
+    counts are the direct evidence when a CPU stage's wall time is
+    dominated by memory growth rather than compute."""
 
     def __init__(self):
         self.times: dict[str, float] = {}
+        self.faults: dict[str, int] = {}
 
     @contextmanager
     def stage(self, name: str):
+        import resource
+
         from fgt_tpu.utils.costs import LEDGER
 
         prev = LEDGER.stage
         LEDGER.stage = name
+        f0 = resource.getrusage(resource.RUSAGE_SELF).ru_minflt
         t0 = time.perf_counter()
         try:
             yield
         finally:
             self.times[name] = self.times.get(name, 0.0) + (
                 time.perf_counter() - t0)
+            self.faults[name] = self.faults.get(name, 0) + (
+                resource.getrusage(resource.RUSAGE_SELF).ru_minflt - f0)
             LEDGER.stage = prev
 
     def total(self) -> float:
@@ -74,6 +85,7 @@ class StageTimer:
         return msg
 
     def dump(self, path: str, **extra) -> None:
-        rec = {"stages": self.times, "total": self.total(), **extra}
+        rec = {"stages": self.times, "total": self.total(),
+               "minor_faults": self.faults, **extra}
         with open(path, "a") as f:
             f.write(json.dumps(rec) + "\n")
