@@ -165,6 +165,9 @@ class Models:
     """RAFT + LAFC + FGT with jitted apply functions."""
 
     def __init__(self, args):
+        from fgt_tpu.utils.hostmem import retain_heap
+
+        retain_heap()   # before the first big host allocations
         rng = jax.random.PRNGKey(0)
         # bf16 inference: params + activations in bfloat16 (matmul
         # accumulators stay f32 via preferred_element_type). ~2x on the

@@ -125,6 +125,9 @@ def build_opt(args: argparse.Namespace) -> dict:
 
 
 def main(argv=None):
+    from fgt_tpu.utils.hostmem import retain_heap
+
+    retain_heap()   # slow-first-touch host: fault the heap once
     args = args_parser(argv)
     if args.coordinator and args.num_processes > 0:
         import jax

@@ -27,6 +27,12 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# this host serves first-touch pages at ~9 MB/s; keep the test suite's
+# numpy/XLA transients on a grow-once heap (see fgt_tpu/utils/hostmem)
+from fgt_tpu.utils.hostmem import retain_heap  # noqa: E402
+
+retain_heap()
+
 
 def pytest_collection_modifyitems(items):
     """Tier markers: anything not heavy/slow/parity is a unit test, so
