@@ -175,6 +175,15 @@ class Models:
         # enabling for publication runs.
         self.dtype = (jnp.bfloat16 if getattr(args, "bf16", False)
                       else jnp.float32)
+        # wire dtype for flow tensors crossing host<->device: the axon
+        # tunnel moves ~10-35 MB/s, so transfer bytes — not FLOPs — bound
+        # several stage walls. f16 halves every flow transfer (10-bit
+        # mantissa: ~0.03 px at DAVIS flow magnitudes; quality delta is
+        # bounded by the bf16 e2e test). Exact f32 wire under --no_bf16.
+        self.wire = (jnp.float16 if self.dtype == jnp.bfloat16
+                     else jnp.float32)
+        self.wire_np = np.float16 if self.dtype == jnp.bfloat16 \
+            else np.float32
         # --- RAFT ---
         self.raft_iters = getattr(args, "raft_iters", 20)
         self.raft = raft_mod.RAFT(raft_mod.RAFTConfig(
@@ -350,25 +359,27 @@ class Models:
                 scale = jnp.asarray([out_w / w, out_h / h], flow.dtype)
                 flow = jax.image.resize(
                     flow, (bsz, out_h, out_w, 2), "bilinear") * scale
-            return flow.astype(jnp.float32)
+            return flow.astype(self.wire)
         return costed(run, "raft_pairs_fn")
 
     @functools.cached_property
     def lafc_window_fn(self):
         @jax.jit
-        def run(variables, diffused, masks, flows, ids):
+        def run(variables, diffused, masks_u8, flows, ids):
             b, t = ids.shape
             h, w = diffused.shape[1:3]
             wf = jnp.take(diffused, ids.reshape(-1), axis=0).astype(self.dtype)
-            wm = jnp.take(masks, ids.reshape(-1), axis=0).astype(self.dtype)
+            wm = jnp.take(masks_u8, ids.reshape(-1),
+                          axis=0).astype(self.dtype)
             out = self.lafc_model.apply(variables, wf.reshape(b, t, h, w, 2),
                                         wm.reshape(b, t, h, w, 1))
             out = out[0] if isinstance(out, tuple) else out
             # composite at the pivot (reference :381)
             piv = ids[:, t // 2]
-            pm = jnp.take(masks, piv, axis=0)
-            pf = jnp.take(flows, piv, axis=0)
-            return (out.astype(jnp.float32) * pm + pf * (1 - pm))
+            pm = jnp.take(masks_u8, piv, axis=0).astype(jnp.float32)
+            pf = jnp.take(flows, piv, axis=0).astype(jnp.float32)
+            return (out.astype(jnp.float32) * pm
+                    + pf * (1 - pm)).astype(self.wire)
         return costed(run, "lafc_window_fn")
 
     @functools.cached_property
@@ -448,7 +459,7 @@ def calculate_flows(models: Models, video: np.ndarray, mode: str,
                 models.raft_vars, video_u8, models.shard_chunk(s_idx[sel]),
                 models.shard_chunk(d_idx[sel]), iters, img_h, img_w)
 
-        flows = [out[:hi - lo] for (lo, hi), out in
+        flows = [out[:hi - lo].astype(np.float32) for (lo, hi), out in
                  zip(bounds, _pipelined(mk(lo, hi) for lo, hi in bounds))]
         return np.concatenate(flows, axis=0)
 
@@ -503,7 +514,7 @@ def calculate_nonlocal_flows(models: Models, video: np.ndarray,
                     models.raft_vars, video_u8, models.shard_chunk(s),
                     models.shard_chunk(d), iters, img_h, img_w))
     for (name, size), o in zip(labels, _pipelined(thunks)):
-        out[name].append(o[:size])
+        out[name].append(o[:size].astype(np.float32))
     nl_f = np.concatenate(out["f"], 0).reshape(n, len(keys), img_h, img_w, 2)
     nl_b = np.concatenate(out["b"], 0).reshape(n, len(keys), img_h, img_w, 2)
     return nl_f, nl_b
@@ -542,12 +553,14 @@ def complete_flows(models: Models, flows: np.ndarray, flow_masks: np.ndarray,
     t = flows.shape[0]
     diffused = diffusion(flows, masks)
 
-    # single upload; windows gathered + pivot-composited on device
+    # single upload; windows gathered + pivot-composited on device.
+    # compact wire dtypes: the tunnel moves ~10-35 MB/s, so flow tensors
+    # travel as f16 (under bf16 mode) and masks as uint8.
     ids = np.asarray([indices_gen(i, interval, num_flows, t)
                       for i in range(t)], np.int32)        # [t, T]
-    diffused_dev = jnp.asarray(diffused.astype(np.float32))
-    masks_dev = jnp.asarray(masks.astype(np.float32))
-    flows_dev = jnp.asarray(flows.astype(np.float32))
+    diffused_dev = jnp.asarray(diffused.astype(models.wire_np))
+    masks_dev = jnp.asarray(masks.astype(np.uint8))
+    flows_dev = jnp.asarray(flows.astype(models.wire_np))
 
     bounds = list(_chunked(t, chunk))
 
@@ -560,7 +573,7 @@ def complete_flows(models: Models, flows: np.ndarray, flow_masks: np.ndarray,
             models.lafc_vars, diffused_dev, masks_dev, flows_dev,
             models.shard_chunk(sel))
 
-    outs = [out[:hi - lo] for (lo, hi), out in
+    outs = [out[:hi - lo].astype(np.float32) for (lo, hi), out in
             zip(bounds, _pipelined(mk(lo, hi) for lo, hi in bounds))]
     return np.concatenate(outs, 0)  # [t, H, W, 2], already composited
 
@@ -664,7 +677,7 @@ def fgt_synthesis(models: Models, frames: np.ndarray, masks: np.ndarray,
     video_u8 = jnp.asarray(
         np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8))
     masks_u8 = jnp.asarray(masks.astype(np.uint8))
-    flows_dev = jnp.asarray(flows.astype(np.float32))
+    flows_dev = jnp.asarray(flows.astype(models.wire_np))
 
     w_total = ids_mat.shape[0]
     bounds = list(_chunked(w_total, window_batch))
@@ -821,7 +834,9 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
 
     # RAFT memory scales with the FLOW resolution (864x480 at the default
     # 432x240 input because of the 2x upscale rule)
-    raft_chunk = _auto("raft_chunk", 4, flow_h, flow_w, 480, 864)
+    # chunk 8: halves the per-call tunnel latency overhead; corr volumes
+    # at the 864x480 flow ceiling stay ~1.3 GB bf16 (fits one 16 GB chip)
+    raft_chunk = _auto("raft_chunk", 8, flow_h, flow_w, 480, 864)
     with timer.stage("s1_raft"):
         device_resize = not getattr(args, "cpu_flow_resize", False)
         flows_f = calculate_flows(models, video_flow, "forward", img_h, img_w,
