@@ -42,6 +42,11 @@ class RAFTConfig:
     small: bool = False           # reference raft.py:29-33
     alternate_corr: bool = False  # reference corr.py:62-84
     corr_chunk: int = 2048        # pixels per alternate-corr chunk
+    # VMEM-blocked Pallas kernel for the pyramid lookup (bit-identical
+    # to lookup_corr_pyramid; cuts the lookup's HBM traffic to the
+    # volume itself). Opt-in: Mosaic compiles hang over this image's
+    # remote-compile tunnel, so it cannot be the default here.
+    pallas_lookup: bool = False
 
     def __post_init__(self):
         if self.small:
@@ -569,6 +574,11 @@ class RAFT(nn.Module):
                 corr = lookup_corr_alternate(fmap1, pyramid, coords1,
                                              cfg.corr_radius,
                                              chunk=cfg.corr_chunk)
+            elif cfg.pallas_lookup:
+                from fgt_tpu.ops.corr_lookup_pallas import \
+                    lookup_corr_pyramid_pallas
+                corr = lookup_corr_pyramid_pallas(pyramid, coords1,
+                                                  cfg.corr_radius)
             else:
                 corr = lookup_corr_pyramid(pyramid, coords1,
                                            cfg.corr_radius)
