@@ -190,3 +190,45 @@ def test_progress_bar_non_tty(capsys):
     pb = Progbar(target=2, stream=buf2)
     pb.add(2, values=[("loss", 0.5)])
     assert "2/2" in buf2.getvalue()
+
+
+def test_pfm_roundtrip(tmp_path):
+    """Sintel-tree PFM contract (reference RAFT/utils/frame_utils.py:33-67)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    gray = rng.rand(6, 9).astype(np.float32)
+    p = str(tmp_path / "d.pfm")
+    flow_io.write_pfm(p, gray)
+    assert np.allclose(flow_io.read_pfm(p), gray)
+    color = rng.rand(5, 7, 3).astype(np.float32)
+    flow_io.write_pfm(p, color)
+    assert np.allclose(flow_io.read_pfm(p), color)
+
+
+def test_kitti_flow_roundtrip(tmp_path):
+    """KITTI uint16 PNG flow (reference frame_utils.py:103-121)."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    flow = (rng.rand(8, 10, 2).astype(np.float32) * 40 - 20)
+    p = str(tmp_path / "f.png")
+    flow_io.write_flow_kitti(p, flow)
+    back, valid = flow_io.read_flow_kitti(p)
+    assert np.all(valid == 1)
+    assert np.abs(back - flow).max() <= 1.0 / 64.0 + 1e-6
+
+
+def test_read_gen_dispatch(tmp_path):
+    import imageio.v2 as imageio
+    import numpy as np
+
+    img = (np.random.RandomState(2).rand(6, 8, 3) * 255).astype(np.uint8)
+    for ext in ("png", "ppm"):
+        p = str(tmp_path / f"x.{ext}")
+        imageio.imwrite(p, img)
+        assert flow_io.read_gen(p).shape == (6, 8, 3)
+    flow = np.random.RandomState(3).rand(6, 8, 2).astype(np.float32)
+    p = str(tmp_path / "x.flo")
+    flow_io.write_flow(flow, p)
+    assert np.allclose(flow_io.read_gen(p), flow)
