@@ -1,0 +1,229 @@
+"""Warm the XLA persistent cache for the Pallas-bearing stage programs.
+
+Mosaic (Pallas) kernel compiles can hang indefinitely over this image's
+remote-TPU tunnel, while cached executables load fine. The pipeline
+therefore takes Pallas paths (flash window attention, RAFT correlation
+lookup) on TPU only for shapes this tool has recorded as known-good in
+the pallas guard registry (fgt_tpu/utils/pallas_guard.py).
+
+The TPU is single-process, so this tool must run while no other process
+holds the device (bench.py runs it automatically before constructing its
+resident models). The parent process never initializes a jax backend; a
+child subprocess (--child) owns the TPU, builds the EXACT stage programs
+the pipeline jit-compiles (same closures via Models.raft_scan /
+Models.fgt_scan), and AOT-compiles them into the shared persistent cache.
+A hung child is killed at the timeout and the signature is recorded
+failed, so later pipeline runs take the XLA fallback instead of hanging.
+
+Usage:
+  python tools/warm_cache.py                  # bench shapes (24f 432x240)
+  python tools/warm_cache.py --frames 208 --imgH 480 --imgW 864
+  python tools/warm_cache.py --stage raft --timeout 900
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _auto(v, base, h, w, base_h, base_w):
+    """Mirror of the pipeline's resolution-aware auto chunk sizing."""
+    if v is not None:
+        return v
+    return max(1, int(base * (base_h * base_w) / float(h * w)))
+
+
+def plan(args):
+    """Reproduce the shapes the pipeline will use for this protocol.
+    Pure numpy/file work — safe in the deviceless parent."""
+    import numpy as np
+
+    from fgt_tpu.pipeline.video_inpainting import (
+        DEFAULT_FGT_CONFIG, _scan_chunks, fgt_window_ids)
+
+    n, img_h, img_w = args.frames, args.imgH, args.imgW
+    if img_h < 350:
+        flow_h, flow_w = img_h * 2, img_w * 2
+    else:
+        flow_h, flow_w = img_h, img_w
+    # bench/demo sources are at image resolution -> device upscale path
+    vshape = (n, img_h, img_w, 3) if not args.cpu_frame_upscale \
+        else (n, flow_h, flow_w, 3)
+
+    raft_chunk = _auto(args.raft_chunk, 8, flow_h, flow_w, 480, 864)
+    total = 2 * (n - 1)
+    src = np.arange(total, dtype=np.int32)
+    idx_shape = (np.stack([_scan_chunks(src, max(1, min(raft_chunk,
+                                                        total))),
+                           _scan_chunks(src, max(1, min(raft_chunk,
+                                                        total)))],
+                          axis=1)).shape
+
+    fgt_cfg = dict(DEFAULT_FGT_CONFIG)
+    if args.fgt_ckpts and os.path.isdir(args.fgt_ckpts):
+        try:
+            import yaml
+
+            from fgt_tpu.utils.checkpoint import find_model_pair
+
+            _, cfg_path = find_model_pair(args.fgt_ckpts)
+            with open(cfg_path) as f:
+                fgt_cfg.update(yaml.safe_load(f))
+        except FileNotFoundError:
+            pass
+    ids_mat, t_n = fgt_window_ids(n, args.neighbor_stride, args.step,
+                                  args.num_ref)
+    wb = max(1, min(_auto(args.window_batch, 4, img_h, img_w, 240, 432),
+                    ids_mat.shape[0]))
+    ids_k_shape = _scan_chunks(ids_mat, wb).shape
+
+    dtype = "bfloat16" if args.bf16 else "float32"
+    return {
+        "vshape": vshape, "idx_shape": idx_shape, "iters": args.raft_iters,
+        "out_hw": (img_h, img_w), "flow_hw": (flow_h, flow_w),
+        "frames_shape": (n, img_h, img_w, 3),
+        "ids_k_shape": ids_k_shape, "t_n": t_n,
+        "fgt_cfg": fgt_cfg, "dtype": dtype,
+    }
+
+
+def signatures(args, p):
+    from dataclasses import dataclass
+
+    from fgt_tpu.pipeline.video_inpainting import (fgt_scan_signature,
+                                                   raft_scan_signature)
+
+    @dataclass
+    class _RC:
+        small: bool
+        alternate_corr: bool
+
+        @property
+        def alt(self):  # pragma: no cover - convenience
+            return self.alternate_corr
+
+    rc = _RC(small=bool(args.small), alternate_corr=bool(args.alternate_corr))
+    sigs = {}
+    if args.stage in ("all", "raft"):
+        sigs["raft"] = raft_scan_signature(
+            rc, p["dtype"], p["vshape"], p["idx_shape"], p["iters"],
+            p["out_hw"], p["flow_hw"])
+    if args.stage in ("all", "fgt") and p["fgt_cfg"].get("use_flash", 0):
+        sigs["fgt"] = fgt_scan_signature(
+            p["fgt_cfg"], p["dtype"], p["frames_shape"], p["ids_k_shape"],
+            p["t_n"])
+    return sigs
+
+
+def run_child(args):
+    """Owns the TPU: build the exact stage programs and AOT-compile them
+    into the persistent cache."""
+    import jax
+    import numpy as np
+
+    from fgt_tpu.pipeline.video_inpainting import (Models, build_parser)
+    from fgt_tpu.utils import pallas_guard as pg
+    from fgt_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = plan(args)
+    sigs = signatures(args, p)
+    pipe_args = build_parser().parse_args([
+        "--imgH", str(args.imgH), "--imgW", str(args.imgW),
+        "--raft_iters", str(args.raft_iters)]
+        + (["--small"] if args.small else [])
+        + (["--alternate_corr"] if args.alternate_corr else [])
+        + (["--f32"] if not args.bf16 else [])
+        + (["--fgt_ckpts", args.fgt_ckpts] if args.fgt_ckpts else [])
+        + (["--lafc_ckpts", args.lafc_ckpts] if args.lafc_ckpts else []))
+    models = Models(pipe_args)
+    sds = jax.ShapeDtypeStruct
+
+    if "raft" in sigs:
+        print(f"compiling raft_scan (pallas lookup) {p['vshape']} ...")
+        fn = models.raft_scan(pallas_lookup=True)
+        fn.fn.lower(models.raft_vars, sds(p["vshape"], np.uint8),
+                    sds(p["idx_shape"], np.int32), p["iters"],
+                    *p["out_hw"], *p["flow_hw"]).compile()
+        pg.record(sigs["raft"], True)
+        print("  ok:", sigs["raft"])
+
+    if "fgt" in sigs:
+        n, h, w, _ = p["frames_shape"]
+        print(f"compiling fgt_scan (flash attention) {p['frames_shape']} "
+              f"ids {p['ids_k_shape']} ...")
+        fn = models.fgt_scan(use_flash=True)
+        fn.fn.lower(models.fgt_vars, sds((n, h, w, 3), np.uint8),
+                    sds((n, h, w, 1), np.uint8),
+                    sds((n - 1, h, w, 2), models.wire_np),
+                    sds(p["ids_k_shape"], np.int32),
+                    sds((), np.int32), p["t_n"]).compile()
+        pg.record(sigs["fgt"], True)
+        print("  ok:", sigs["fgt"])
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--imgH", type=int, default=240)
+    ap.add_argument("--imgW", type=int, default=432)
+    ap.add_argument("--raft_iters", type=int, default=20)
+    ap.add_argument("--raft_chunk", type=int, default=None)
+    ap.add_argument("--window_batch", type=int, default=None)
+    ap.add_argument("--neighbor_stride", type=int, default=5)
+    ap.add_argument("--step", type=int, default=10)
+    ap.add_argument("--num_ref", type=int, default=-1)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--alternate_corr", action="store_true")
+    ap.add_argument("--f32", dest="bf16", action="store_false")
+    ap.add_argument("--cpu_frame_upscale", action="store_true")
+    ap.add_argument("--fgt_ckpts", default="checkpoints/fgt")
+    ap.add_argument("--lafc_ckpts", default="checkpoints/lafc")
+    ap.add_argument("--stage", choices=["all", "raft", "fgt"],
+                    default="all")
+    ap.add_argument("--timeout", type=float, default=None)
+    ap.add_argument("--retry", action="store_true",
+                    help="re-probe signatures previously recorded failed")
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.child:
+        sys.exit(run_child(args))
+
+    # parent: never init a jax backend (the child needs the TPU)
+    from fgt_tpu.utils import pallas_guard as pg
+
+    p = plan(args)
+    sigs = signatures(args, p)
+    if not sigs:
+        print("nothing to warm (no pallas-bearing stage selected)")
+        return
+    child_argv = [sys.executable, os.path.abspath(__file__), "--child"] + [
+        a for a in sys.argv[1:] if a != "--retry"]
+    ok_all = True
+    for stage, sig in sigs.items():
+        known = pg.check(sig)
+        if known is True:
+            print(f"{stage}: {sig} already recorded ok")
+            continue
+        if known is False and not args.retry:
+            print(f"{stage}: {sig} recorded FAILED earlier "
+                  "(--retry to re-probe)")
+            ok_all = False
+            continue
+        ok = pg.probe(sig, child_argv + ["--stage", stage],
+                      timeout_s=args.timeout)
+        print(f"{stage}: {sig} -> {'ok' if ok else 'FAILED/timeout'}")
+        ok_all = ok_all and ok
+    sys.exit(0 if ok_all else 1)
+
+
+if __name__ == "__main__":
+    main()
