@@ -78,10 +78,33 @@ def run_pipeline(frames_dir: str, masks_dir: str, outroot: str, models=None):
     return out_path, wall, rec["stages"], rec.get("costs", {})
 
 
+def warm_pallas_cache():
+    """Pre-compile the Pallas-bearing stage programs in a bounded child
+    process BEFORE this process claims the (single-process) TPU. A hung
+    Mosaic compile is killed and recorded; the pipeline then takes the XLA
+    fallback instead of hanging (round-2 verdict #5)."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    import subprocess
+
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "warm_cache.py")
+    try:
+        proc = subprocess.run(
+            [sys.executable, tool, "--frames", str(N_FRAMES),
+             "--imgH", str(IMG_H), "--imgW", str(IMG_W)],
+            timeout=float(os.environ.get("FGT_WARM_TIMEOUT", "1800")),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        print(proc.stdout[-2000:], file=sys.stderr)
+    except Exception as e:  # never block the bench on warming trouble
+        print(f"cache warming skipped: {e}", file=sys.stderr)
+
+
 def main():
     root = tempfile.mkdtemp(prefix="fgt_bench_")
     try:
         frames_dir, masks_dir = make_synthetic_data(root)
+        warm_pallas_cache()
 
         # resident models, like a serving deployment / batch eval
         from fgt_tpu.pipeline.video_inpainting import Models, build_parser
@@ -95,12 +118,13 @@ def main():
         # warm passes: best-of-N filters shared-host contention noise
         # (CPU stages on this host vary 3-4x run to run)
         n_warm = int(os.environ.get("BENCH_WARM_RUNS", "3"))
-        best = None
+        best, walls = None, []
         for i in range(n_warm):
             out_path, wall, stages_i, costs_i = run_pipeline(
                 frames_dir, masks_dir, os.path.join(root, f"out_warm{i}"),
                 models=models)
             assert os.path.exists(out_path)
+            walls.append(wall)
             if best is None or wall < best[0]:
                 best = (wall, stages_i, costs_i)
         wall, stages, costs = best
@@ -119,6 +143,12 @@ def main():
             "unit": "frames/s",
             "vs_baseline": round(vs, 3),
             "n_frames": N_FRAMES,
+            # intra-run spread across the warm passes (shared-host noise):
+            # headline = best, but median/worst are published alongside
+            "warm_fps": {"best": round(N_FRAMES / min(walls), 3),
+                         "median": round(N_FRAMES /
+                                         float(np.median(walls)), 3),
+                         "worst": round(N_FRAMES / max(walls), 3)},
             "stages_s": {k: round(v, 2) for k, v in stages.items()},
             # per-TPU-stage model FLOP utilization (XLA cost analysis /
             # stage wall / chip peak; see fgt_tpu/utils/costs.py)

@@ -107,6 +107,31 @@ def test_video_extrapolation_end_to_end(tmp_path):
     assert vid[0].shape[0] == 80 and vid[0].shape[1] == 80  # 64*1.25
 
 
+@pytest.mark.slow
+def test_scan_vs_chunked_dispatch_match(tmp_path):
+    """The default single-dispatch device-scan stages must produce the
+    same video as the round-2 per-chunk pipelined dispatch path (same
+    models, same data). Compared in f32 to isolate the dispatch
+    restructuring itself — the bf16+f16-wire numerics delta is gated
+    separately by test_bf16_end_to_end_bounded_delta. Residual diffs:
+    the scan path's round-cast u8 FGT input / composite-valid buffer vs
+    the chunked path's trunc cast (≤1 LSB)."""
+    frames, masks = _make_data(tmp_path)
+    lafc, fgt = _make_ckpts(tmp_path)
+    a1 = _args(tmp_path, "object_removal", frames, masks, lafc, fgt)
+    a1.outroot = str(tmp_path / "out_scan")
+    a1.bf16 = False
+    out1 = vi.video_inpainting(a1)
+    a2 = _args(tmp_path, "object_removal", frames, masks, lafc, fgt)
+    a2.outroot = str(tmp_path / "out_chunked")
+    a2.chunked_dispatch = True
+    a2.bf16 = False
+    out2 = vi.video_inpainting(a2)
+    v1 = np.stack(read_video(out1)).astype(int)
+    v2 = np.stack(read_video(out2)).astype(int)
+    assert np.abs(v1 - v2).mean() < 1.0
+
+
 @pytest.mark.heavy
 def test_dp_inference_matches_single_device(tmp_path):
     """--dp shards batched stage calls over the 8-device CPU mesh and must
@@ -162,6 +187,7 @@ def test_bf16_end_to_end_bounded_delta(tmp_path):
 
     args = _args(tmp_path, "object_removal", frames, masks, lafc, fgt)
     args.outroot = str(tmp_path / "out_f32")
+    args.bf16 = False   # --bf16 defaults True: force the true f32+f32-wire
     out32 = vi.video_inpainting(args)
 
     args = _args(tmp_path, "object_removal", frames, masks, lafc, fgt)
