@@ -65,6 +65,12 @@ class FGTConfig:
                                    # (differentiable: Pallas dq/dkv custom
                                    # VJP; off by default so CPU tests use
                                    # the XLA path)
+    seq_axis: Optional[str] = None  # Ulysses temporal sequence parallelism:
+                                    # mesh axis sharding the folded (b*t)
+                                    # frame axis through the conv/FFN trunk,
+                                    # with head-scatter all-to-alls inside
+                                    # TMHSA (ops/attention.py); needs an
+                                    # active mesh (jax.sharding.set_mesh)
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "FGTConfig":
@@ -93,6 +99,7 @@ class FGTConfig:
             tw=get("tw", 2), sw=get("sw", 8), gd=get("gd", 4),
             input_resolution=tuple(res),
             use_flash=bool(get("use_flash", 0)),
+            seq_axis=get("seq_axis", None),
         )
 
 
@@ -212,7 +219,7 @@ class TemporalTransformer(nn.Module):
         s = nn.LayerNorm(name="norm1")(x)
         att = TMHSA(d_model=c.frame_hidden, group_size=c.tw,
                     num_heads=c.num_heads, dropout=c.drop,
-                    use_flash=c.use_flash,
+                    use_flash=c.use_flash, seq_axis=c.seq_axis,
                     name="attention")(s, t, h, w, deterministic=deterministic)
         if c.drop > 0:
             att = nn.Dropout(c.drop)(att, deterministic=deterministic)
@@ -301,6 +308,16 @@ class FGT(nn.Module):
             inputs = jnp.concatenate([masked_frames, masks], axis=-1)
         x = inputs.reshape(B * T, H, W, c.in_channel)
         f = flows.reshape(B * T, H, W, c.flow_in_channel)
+        if c.seq_axis is not None:
+            # temporal sequence parallelism: every per-frame stage (conv
+            # encoders, FFN fold/unfold, spatial attention, decoder) runs
+            # with the folded frame axis sharded over the mesh; only TMHSA
+            # re-scatters (ops/attention.py). Pin the layout at the trunk
+            # entry so the partitioner propagates it end to end.
+            from fgt_tpu.ops.attention import _constrain
+
+            x = _constrain(x, c.seq_axis, 0)
+            f = _constrain(f, c.seq_axis, 0)
 
         enc_feats = FrameEncoder(in_channels=c.in_channel, cnum=c.cnum,
                                  name="frame_encoder")(x)

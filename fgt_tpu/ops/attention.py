@@ -20,8 +20,21 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import PartitionSpec as P
+
+
+def _constrain(x: jnp.ndarray, axis: Optional[str], dim: int) -> jnp.ndarray:
+    """Pin mesh axis ``axis`` onto tensor dim ``dim`` (sequence-parallel
+    layout hints; requires an active mesh, e.g. ``jax.sharding.set_mesh``).
+    No-op when ``axis`` is None."""
+    if axis is None:
+        return x
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
 def _pad_hw(x: jnp.ndarray, pad_b: int, pad_r: int) -> jnp.ndarray:
@@ -53,11 +66,19 @@ class TMHSA(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_flash: bool = False   # fused Pallas attention (fwd + custom VJP)
+    # Ulysses-style temporal sequence parallelism: mesh axis that shards
+    # the folded (b*t) frame axis everywhere EXCEPT inside the attention
+    # contraction, where an all-to-all (inserted by the SPMD partitioner
+    # at the sharding-constraint boundary) re-scatters tokens full-length
+    # per head subset. The reference has no analogue (SURVEY.md §5); its
+    # temporal attention cost anchor is attention_base.py:61-66.
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: int, h: int, w: int,
                  deterministic: bool = True) -> jnp.ndarray:
         bt, n, c = x.shape
+        x = _constrain(x, self.seq_axis, 0)
         assert n == h * w, f"token count {n} != {h}x{w}"
         b = bt // t
         g = self.group_size
@@ -77,7 +98,10 @@ class TMHSA(nn.Module):
         def part(y):
             y = y.reshape(b, t, g, win_h, g, win_w, self.num_heads, ch)
             y = y.transpose(0, 2, 4, 6, 1, 3, 5, 7)
-            return y.reshape(b, g * g, self.num_heads, t * win_h * win_w, ch)
+            y = y.reshape(b, g * g, self.num_heads, t * win_h * win_w, ch)
+            # t-sharded -> head-sharded: the partitioner lowers this
+            # re-layout to an all-to-all over seq_axis (Ulysses)
+            return _constrain(y, self.seq_axis, 2)
 
         if self.use_flash:
             from fgt_tpu.ops.flash_attention import flash_attend
@@ -86,9 +110,12 @@ class TMHSA(nn.Module):
                                1.0 / math.sqrt(ch))
         else:
             att = _attend(part(q), part(k), part(v), 1.0 / math.sqrt(ch))
+        att = _constrain(att, self.seq_axis, 2)
         att = att.reshape(b, g, g, self.num_heads, t, win_h, win_w, ch)
         att = att.transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(bt, new_h, new_w, c)
-        att = att[:, :h, :w, :].reshape(bt, n, c)
+        # head-sharded -> t-sharded for the FFN/conv trunk (all-to-all back)
+        att = _constrain(att[:, :h, :w, :].reshape(bt, n, c),
+                         self.seq_axis, 0)
         out = nn.Dense(c, name="out")(att)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

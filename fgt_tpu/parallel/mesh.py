@@ -21,14 +21,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1,
+def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Create a (dp, tp) mesh over the available devices."""
+    """Create a (dp, tp[, sp]) mesh over the available devices.
+
+    ``sp`` (innermost, so its all-to-alls ride adjacent ICI links) is the
+    temporal sequence-parallel axis consumed by ``FGTConfig.seq_axis``;
+    the axis is added only when sp > 1 so existing (dp, tp) call sites and
+    specs are unchanged.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if dp is None:
-        dp = len(devices) // tp
-    assert dp * tp == len(devices), \
-        f"dp({dp}) * tp({tp}) != #devices({len(devices)})"
+        dp = len(devices) // (tp * sp)
+    assert dp * tp * sp == len(devices), \
+        f"dp({dp}) * tp({tp}) * sp({sp}) != #devices({len(devices)})"
+    if sp > 1:
+        arr = np.asarray(devices).reshape(dp, tp, sp)
+        return Mesh(arr, axis_names=("dp", "tp", "sp"))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 

@@ -73,10 +73,13 @@ def test_every_matched_param_is_sharded_no_fallback(audit):
     assert matched >= 8 * 2 * 4, f"only {matched} rule-matched leaves"
 
 
-def test_ffn_20480_hidden_is_tp_sharded(audit):
-    """The mlp_ratio-40 FusionFFN (512 -> 20480 -> 512) dominates the
-    parameter count; its kernels must be split over tp in every block."""
+def test_ffn_hidden_is_tp_sharded(audit):
+    """The mlp_ratio-40 FusionFFN (512 -> mlp_ratio*k*k = 1960 fold
+    channels -> 512) dominates the parameter count; its kernels must be
+    split over tp in every block."""
     mesh, params, _ = audit
+    cfg = FGTConfig()
+    hidden = cfg.mlp_ratio * cfg.kernel_size[0] * cfg.kernel_size[1]
     specs = dict(_flatten_with_paths(partition_specs(params, mesh)))
     conv1 = {p: leaf for p, leaf in _flatten_with_paths(params)
              if re.search(r"ffn/conv1/kernel$", p)}
@@ -84,7 +87,7 @@ def test_ffn_20480_hidden_is_tp_sharded(audit):
              if re.search(r"ffn/conv2/kernel$", p)}
     assert len(conv1) >= 8 and len(conv2) >= 8
     for p, leaf in conv1.items():
-        assert max(leaf.shape) >= 20480, (p, leaf.shape)
+        assert max(leaf.shape) == hidden, (p, leaf.shape, hidden)
         assert specs[p][-1] == "tp", f"{p} up-projection not tp-sharded"
     for p, leaf in conv2.items():
         assert specs[p][0] == "tp", f"{p} down-projection not tp-sharded"
