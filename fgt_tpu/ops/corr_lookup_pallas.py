@@ -30,7 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _lookup_kernel(cxy_ref, vol_ref, out_ref, *, radius: int):
-    """One [BN, H, W] slab -> [BN, k*k] taps.
+    """One [BN, H, W] slab -> [BN, k, k] taps (dx slow, dy fast; the
+    caller flattens — Mosaic's vector layout can't shape-cast
+    [BN, k, k] -> [BN, k*k] in-kernel).
 
     cxy_ref: [BN, 2] (col 0 = cx, col 1 = cy) at this level's scale.
     """
@@ -62,7 +64,7 @@ def _lookup_kernel(cxy_ref, vol_ref, out_ref, *, radius: int):
     taps = jax.lax.dot_general(
         wx, tmp, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)         # [BN, k(dx), k(dy)]
-    out_ref[:] = taps.reshape(bn, k * k).astype(out_ref.dtype)
+    out_ref[:] = taps.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -83,7 +85,7 @@ def lookup_level_pallas(vol: jnp.ndarray, cxy: jnp.ndarray, radius: int,
     grid = (n_pad // block_n,)
     out = pl.pallas_call(
         functools.partial(_lookup_kernel, radius=radius),
-        out_shape=jax.ShapeDtypeStruct((n_pad, k * k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, k, k), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_n, 2), lambda p: (p, 0),
@@ -91,11 +93,11 @@ def lookup_level_pallas(vol: jnp.ndarray, cxy: jnp.ndarray, radius: int,
             pl.BlockSpec((block_n, H, W), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_n, k * k), lambda p: (p, 0),
+        out_specs=pl.BlockSpec((block_n, k, k), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(cxy, vol)
-    return out[:N]
+    return out.reshape(n_pad, k * k)[:N]
 
 
 def lookup_corr_pyramid_pallas(pyramid, coords: jnp.ndarray, radius: int,
