@@ -67,11 +67,24 @@ def _save():
         pass
 
 
+def canonical_dtype(dtype) -> str:
+    """Canonical dtype name for signatures: 'bfloat16' whether the caller
+    holds a string, a numpy dtype, or the jnp scalar type (str() of which
+    is \"<class 'ml_dtypes.bfloat16'>\" — a silent signature mismatch)."""
+    import numpy as np
+
+    if isinstance(dtype, str) and "'" in dtype:   # repr of a class
+        dtype = dtype.split("'")[1].rsplit(".", 1)[-1]
+    return np.dtype(dtype).name
+
+
 def signature(kind: str, **fields) -> str:
     """Stable signature for a pallas-bearing program: kind + shape/config
     fields + jax version (a jax upgrade invalidates compiled artifacts)."""
     import jax
 
+    if "dtype" in fields:
+        fields["dtype"] = canonical_dtype(fields["dtype"])
     blob = json.dumps({"kind": kind, "jax": jax.__version__, **fields},
                       sort_keys=True, default=str)
     return f"{kind}-" + hashlib.sha1(blob.encode()).hexdigest()[:16]
