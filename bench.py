@@ -156,6 +156,19 @@ def main():
                     if "mfu" in v},
             "tflops_per_s": {k: round(v.get("tflops_per_s", 0.0), 2)
                              for k, v in costs.items()},
+            # device-busy vs host-wait split: upload/fetch are measured
+            # tunnel transfers (bytes included); the remainder of each
+            # stage wall is device execution + dispatch (under axon,
+            # block_until_ready is a no-op, so device execution time is
+            # absorbed into the first fetch of its outputs)
+            "wire": {k: {"upload_s": round(v.get("upload_s", 0.0), 3),
+                         "upload_mb": round(v.get("upload_bytes", 0.0)
+                                            / 1e6, 2),
+                         "fetch_s": round(v.get("fetch_s", 0.0), 3),
+                         "fetch_mb": round(v.get("fetch_bytes", 0.0)
+                                           / 1e6, 2)}
+                     for k, v in costs.items()
+                     if v.get("upload_bytes") or v.get("fetch_bytes")},
         }
         print(json.dumps(rec))
     finally:
