@@ -98,8 +98,10 @@ def run_lafc(args, timer, results):
                                  jnp.zeros((1, t, h, w, 1)))
     sched = warmup_step_decay(1e-4, decay_interval=120_000, gamma=0.1)
     tx = make_adam(sched)
-    step = costed(make_lafc_train_step(model.apply, tx, LAFCLossWeights()),
-                  "lafc_step")
+    import jax.numpy as _jnp
+    step = costed(make_lafc_train_step(
+        model.apply, tx, LAFCLossWeights(),
+        compute_dtype=_jnp.bfloat16 if args.bf16 else None), "lafc_step")
     opt_state = tx.init(params)
     batch = {k: jnp.asarray(v) for k, v in
              synth_lafc_batch(args.batch or 4, h, w, t).items()}
@@ -135,8 +137,8 @@ def run_lafc(args, timer, results):
 
     sps = args.steps / wall
     mfu, tfps = _mfu("lafc_train", args.steps, wall)
-    rec = {"metric": "lafc_train_steps_per_sec_240x432_b%d" % (args.batch
-                                                               or 4),
+    rec = {"metric": "lafc_train_steps_per_sec_240x432_b%d%s"
+                     % (args.batch or 4, "_bf16" if args.bf16 else ""),
            "value": round(sps, 3), "unit": "steps/s",
            "vs_baseline": 0.0,
            "mfu": round(mfu, 4),
@@ -194,8 +196,9 @@ def run_fgt(args, timer, results):
             return out, mut["spectral"]
         return disc.apply(variables, video), variables["spectral"]
 
-    step = costed(make_fgt_train_step(g_apply, d_apply, None, g_tx, d_tx,
-                                      FGTLossWeights()), "fgt_step")
+    step = costed(make_fgt_train_step(
+        g_apply, d_apply, None, g_tx, d_tx, FGTLossWeights(),
+        compute_dtype=jnp.bfloat16 if args.bf16 else None), "fgt_step")
     state = GANTrainState(
         g_params=g_params, d_params=d_vars["params"],
         d_spectral=d_vars["spectral"], g_opt=g_tx.init(g_params),
@@ -231,7 +234,9 @@ def run_fgt(args, timer, results):
 
     sps = args.steps / wall
     mfu, tfps = _mfu("fgt_train", args.steps, wall)
-    rec = {"metric": f"fgt_gan_train_steps_per_sec_{h}x{w}_b{b}",
+    variant = ("_bf16" if args.bf16 else "") + \
+        ("_flash" if args.flash else "")
+    rec = {"metric": f"fgt_gan_train_steps_per_sec_{h}x{w}_b{b}{variant}",
            "value": round(sps, 3), "unit": "steps/s",
            "vs_baseline": 0.0,
            "mfu": round(mfu, 4),
@@ -255,6 +260,9 @@ def main():
     ap.add_argument("--flash", action="store_true",
                     help="use the Pallas flash-attention custom-VJP path "
                          "in the FGT train step")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed precision: model fwd/bwd in bfloat16, "
+                         "params/optimizer/losses in f32")
     args = ap.parse_args()
 
     from fgt_tpu.utils.compile_cache import enable_compilation_cache

@@ -85,15 +85,22 @@ class ConvND(nn.Module):
             kernel = self._spectral_normalize(kernel, sn_update)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, _DIM_NUMBERS[rank])
+        cdt = jnp.dtype(self.dtype or x.dtype)
+        # f32 accumulation: request it explicitly only for f32 operands —
+        # jax's conv transpose rule cannot differentiate through a
+        # preferred_element_type that differs from the operand dtype
+        # (bf16 training would fail), and the TPU MXU accumulates
+        # low-precision convs in f32 internally anyway.
+        ptype = jnp.float32 if cdt == jnp.float32 else None
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype or x.dtype),
-            kernel.astype(self.dtype or x.dtype),
+            x.astype(cdt),
+            kernel.astype(cdt),
             window_strides=_tuple(self.strides, rank),
             padding=resolve_padding(ksize, self.dilation, self.padding, rank),
             rhs_dilation=_tuple(self.dilation, rank),
             dimension_numbers=dn,
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=ptype,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))

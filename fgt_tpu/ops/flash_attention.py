@@ -209,6 +209,11 @@ def _flash_core_bwd(scale, block_q, block_k, interpret, res, dout):
     q, k, v, out, lse = res
     n, l, ch = q.shape
     bq, bk, lp_q, lp_k = _blocks(l, block_q, block_k)
+    # dq kernel: 3 matmuls (s, dp, dq); dkv kernel: 4 (s, dv, dp, dk) —
+    # 14 * N * Lq * Lk * ch MXU flops, invisible to XLA cost analysis
+    from fgt_tpu.utils.costs import record_traced_flops
+
+    record_traced_flops(14.0 * n * lp_q * lp_k * ch)
     qp = _pad_l(q, lp_q, l)
     kp, vp = _pad_l(k, lp_k, l), _pad_l(v, lp_k, l)
     # dout arrives at the kernel's padded shape (the unpad slice lives
@@ -283,6 +288,13 @@ def flash_attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     l, ch = q.shape[-2:]
     n = math.prod(lead) if lead else 1
     interpret = jax.default_backend() != "tpu"
+    # analytic forward flops (qk^T + pv = 4*N*Lq*Lk*ch on padded tiles):
+    # XLA cost analysis reports 0 for the Mosaic call, so the stage-level
+    # cost ledger is credited here at trace time
+    from fgt_tpu.utils.costs import record_traced_flops
+
+    _, _, lp_q, lp_k = _blocks(l, 512, 512)
+    record_traced_flops(4.0 * n * lp_q * lp_k * ch)
     out = flash_mhsa(q.reshape(n, l, ch), k.reshape(n, l, ch),
                      v.reshape(n, l, ch), scale=scale, interpret=interpret)
     return out.reshape(*lead, l, ch)

@@ -62,7 +62,8 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
                         g_tx: optax.GradientTransformation,
                         d_tx: optax.GradientTransformation,
                         weights: FGTLossWeights = FGTLossWeights(),
-                        bi_mode: str | None = None):
+                        bi_mode: str | None = None,
+                        compute_dtype=None):
     """Build ``step(state, batch, flow_params) -> (state, metrics)``.
 
     * g_apply(params, frames, flows, masks) -> filled frames [B,T,H,W,3]
@@ -86,14 +87,35 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
     if bi_mode not in (None, "fuse", "alternate"):
         raise ValueError(f"unknown bi_mode: {bi_mode!r}")
 
+    from fgt_tpu.train.lafc_step import cast_floats
+
+    def run_gen(g_params, frames, flows, masks):
+        """Generator forward, optionally in the reduced compute dtype
+        (params/opt/losses stay f32 — the big FGT forward+backward is
+        where the bytes and MXU time are; the small T-PatchGAN D stays
+        f32 so its spectral power-iteration state is unaffected)."""
+        if compute_dtype is None:
+            return g_apply(g_params, frames, flows, masks)
+        out = g_apply(cast_floats(g_params, compute_dtype),
+                      frames.astype(compute_dtype),
+                      flows.astype(compute_dtype),
+                      masks.astype(compute_dtype))
+        return out.astype(jnp.float32)
+
     def complete_flows(flow_params, flows, masks):
         if flow_apply is None:
             return flows
         b, t, h, w, c = flows.shape
-        out = flow_apply(flow_params, flows.reshape(b * t, h, w, c),
-                         masks.reshape(b * t, h, w, 1))
+        flows2, masks2 = flows.reshape(b * t, h, w, c), \
+            masks.reshape(b * t, h, w, 1)
+        if compute_dtype is not None:   # frozen oracle: no-grad, cheap cast
+            flow_params = cast_floats(flow_params, compute_dtype)
+            flows2 = flows2.astype(compute_dtype)
+            masks2 = masks2.astype(compute_dtype)
+        out = flow_apply(flow_params, flows2, masks2)
         if isinstance(out, tuple):
             out = out[0]
+        out = out.astype(jnp.float32)
         return jax.lax.stop_gradient(out.reshape(b, t, h, w, c))
 
     def d_loss_fn(d_params, d_spectral, real, fake):
@@ -108,10 +130,12 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
         dis_loss = (loss_r + loss_f) / 2.0
         return dis_loss, (spec, loss_r, loss_f)
 
-    def g_loss_fn(g_params, d_params, d_spectral, batch, flows):
-        frames, masks = batch["frames"], batch["masks"]
-        masked_frames = frames * (1 - masks)
-        filled = g_apply(g_params, masked_frames, flows, masks)
+    def g_head_fn(filled, d_params, d_spectral, frames, masks):
+        """Generator loss as a function of the generator OUTPUT: the
+        expensive generator forward runs once per step (jax.vjp below)
+        and its residuals serve both the D-update fake and the G grad —
+        the reference does the same by reusing torch's retained graph
+        (network.py:128,142-157)."""
         comp = filled * masks + frames * (1 - masks)
         logits, _ = d_apply({"params": d_params, "spectral": d_spectral},
                             comp, sn_update=False)
@@ -121,7 +145,7 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
         # reference swaps L1M/L1V between the terms (see module docstring)
         gen_loss = (l1_valid * weights.L1M + l1_masked * weights.L1V
                     + gan * weights.adv)
-        return gen_loss, (comp, gan, l1_valid, l1_masked)
+        return gen_loss, (gan, l1_valid, l1_masked)
 
     @jax.jit
     def step(state: GANTrainState, batch, flow_params):
@@ -138,9 +162,13 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
             flows = complete_flows(flow_params, batch["flows"], masks)
         flows = norm_flows_nhwc(flows)
 
-        # generator forward once to build the fake for the D update
+        # ONE generator forward per step: jax.vjp captures the residuals,
+        # the detached output feeds the D update, and the same residuals
+        # backprop the G loss against the UPDATED discriminator
         masked_frames = frames * (1 - masks)
-        filled = g_apply(state.g_params, masked_frames, flows, masks)
+        filled, g_vjp = jax.vjp(
+            lambda p: run_gen(p, masked_frames, flows, masks),
+            state.g_params)
         comp_detached = jax.lax.stop_gradient(
             filled * masks + frames * (1 - masks))
 
@@ -150,10 +178,9 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
-        gbatch = {"frames": frames, "masks": masks}
-        (gen_loss, (_, gan, l1v, l1m)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params, d_params, spec, gbatch,
-                                     flows)
+        (gen_loss, (gan, l1v, l1m)), dfilled = jax.value_and_grad(
+            g_head_fn, has_aux=True)(filled, d_params, spec, frames, masks)
+        (g_grads,) = g_vjp(dfilled)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 

@@ -31,13 +31,27 @@ class LAFCLossWeights:
     edge: float = 1.0
 
 
+def cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree (params or model inputs) to the
+    compute dtype; integer/bool leaves pass through."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
 def make_lafc_train_step(model_apply: Callable, tx: optax.GradientTransformation,
-                         weights: LAFCLossWeights = LAFCLossWeights()):
+                         weights: LAFCLossWeights = LAFCLossWeights(),
+                         compute_dtype=None):
     """Returns ``step(params, opt_state, batch) -> (params, opt_state,
     metrics)``. ``batch`` (all NHWC, window axis T=num_flows):
 
       flows [B,T,H,W,2], diffused_flows [B,T,H,W,2], masks [B,T,H,W,1],
       edges [B,H,W,1], current_frame [B,H,W,3], shift_frame [B,H,W,3]
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) runs the model forward/backward
+    in reduced precision while params, optimizer state, and every loss
+    reduction stay float32 (standard TPU mixed precision; grads of the
+    dtype cast accumulate back to f32).
     """
 
     def loss_fn(params, batch):
@@ -46,8 +60,16 @@ def make_lafc_train_step(model_apply: Callable, tx: optax.GradientTransformation
         target_flow = flows[:, t // 2]
         target_mask = batch["masks"][:, t // 2]
 
-        filled_flow, filled_edge = model_apply(
-            params, batch["diffused_flows"], batch["masks"])
+        if compute_dtype is not None:
+            filled_flow, filled_edge = model_apply(
+                cast_floats(params, compute_dtype),
+                batch["diffused_flows"].astype(compute_dtype),
+                batch["masks"].astype(compute_dtype))
+            filled_flow = filled_flow.astype(jnp.float32)
+            filled_edge = filled_edge.astype(jnp.float32)
+        else:
+            filled_flow, filled_edge = model_apply(
+                params, batch["diffused_flows"], batch["masks"])
 
         combined_flow = (target_flow * (1 - target_mask)
                          + filled_flow * target_mask)

@@ -242,14 +242,16 @@ class LAFCTrainer(Trainer):
             ternary=float(tr.get("ternary", 0.01)),
             edge=float(tr.get("edge_loss", 1.0)))
 
+        cdt = jnp.bfloat16 if int(opt.get("mixed_precision", 0)) else None
         if self.single:
             def apply_2d(params, flows, masks):
                 return self.model.apply(params, flows, masks)
             self.step = make_lafc_train_step(self._single_window(apply_2d),
-                                             self.tx, weights)
+                                             self.tx, weights,
+                                             compute_dtype=cdt)
         else:
             self.step = make_lafc_train_step(self.model.apply, self.tx,
-                                             weights)
+                                             weights, compute_dtype=cdt)
         self.params = put_replicated(self.mesh, params)
         self.opt_state = put_replicated(self.mesh, self.tx.init(params))
         if opt.get("path", {}).get("gen_state"):
@@ -409,9 +411,11 @@ class FGTTrainer(Trainer):
                 return out, mut["spectral"]
             return self.disc.apply(variables, video), variables["spectral"]
 
-        self.step = make_fgt_train_step(g_apply, d_apply, flow_apply,
-                                        self.g_tx, self.d_tx, weights,
-                                        bi_mode=self.bi_mode)
+        self.step = make_fgt_train_step(
+            g_apply, d_apply, flow_apply, self.g_tx, self.d_tx, weights,
+            bi_mode=self.bi_mode,
+            compute_dtype=(jnp.bfloat16
+                           if int(opt.get("mixed_precision", 0)) else None))
         state = GANTrainState(
             g_params=g_params, d_params=d_vars["params"],
             d_spectral=d_vars["spectral"], g_opt=self.g_tx.init(g_params),

@@ -119,6 +119,33 @@ class CostLedger:
 
 LEDGER = CostLedger()
 
+# ---------------------------------------------------------------------------
+# Analytic FLOPs for Pallas kernels. XLA cost_analysis() reports zero FLOPs
+# for custom (Mosaic) calls, so programs that take the flash-attention path
+# under-report: the attention matmuls are real MXU work. Pallas wrappers call
+# record_traced_flops() from their (python) trace-time bodies; costed()
+# activates the accumulator around its lower()+compile of a new signature,
+# so the analytic count lands on the same per-signature cost entry.
+# Thread-local: the pipeline dispatches stages from worker threads.
+_TRACE_TLS = threading.local()
+
+
+def record_traced_flops(flops: float) -> None:
+    acc = getattr(_TRACE_TLS, "acc", None)
+    if acc is not None:
+        acc[0] += float(flops)
+
+
+class _accumulate_traced:
+    def __enter__(self):
+        self.prev = getattr(_TRACE_TLS, "acc", None)
+        _TRACE_TLS.acc = [0.0]
+        return _TRACE_TLS.acc
+
+    def __exit__(self, *exc):
+        _TRACE_TLS.acc = self.prev
+        return False
+
 
 def _signature(args, kwargs):
     import jax
@@ -153,23 +180,30 @@ class costed:
         self._costs: dict[str, tuple[float, float]] = {}
 
     def __call__(self, *args, **kwargs):
-        out = self.fn(*args, **kwargs)
         import os
 
         # the cost lookup (lower+compile) can trigger a second XLA compile
         # per signature (~minutes over the axon tunnel), so it is opt-in:
         # bench.py and --costs set FGT_COSTS; warm calls reuse the cache.
         if not os.environ.get("FGT_COSTS"):
-            return out
+            return self.fn(*args, **kwargs)
         key = _signature(args, kwargs)
         if key not in self._costs:
+            # lookup BEFORE the first dispatch of this signature: the
+            # lower() below is then the first trace, so trace-time
+            # record_traced_flops() hooks in Pallas wrappers fire and the
+            # analytic kernel FLOPs (invisible to XLA cost analysis) are
+            # folded into this signature's entry
             try:
-                cost = self.fn.lower(*args, **kwargs).compile()\
-                    .cost_analysis()
-                self._costs[key] = _extract(cost)
-                fl, by = self._costs[key]
-                logger.info("cost[%s]: %.1f GFLOP, %.1f MB per call",
-                            self.name, fl / 1e9, by / 1e6)
+                with _accumulate_traced() as acc:
+                    cost = self.fn.lower(*args, **kwargs).compile()\
+                        .cost_analysis()
+                fl, by = _extract(cost)
+                fl += acc[0]
+                self._costs[key] = (fl, by)
+                logger.info("cost[%s]: %.1f GFLOP (%.1f pallas), "
+                            "%.1f MB per call",
+                            self.name, fl / 1e9, acc[0] / 1e9, by / 1e6)
             except Exception as e:  # pragma: no cover - backend-specific
                 # cache the failure per signature: the lower+compile above
                 # can take minutes over the remote-compile tunnel, so it
@@ -179,5 +213,6 @@ class costed:
                     self._costs["__warned__"] = (0.0, 0.0)
                     logger.info("cost analysis unavailable for %s (%s)",
                                 self.name, e)
+        out = self.fn(*args, **kwargs)
         LEDGER.add(*self._costs[key])
         return out

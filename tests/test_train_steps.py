@@ -234,3 +234,126 @@ def test_fgt_gan_step_dp_mesh():
     state, metrics = step(state, batch, None)
     assert np.isfinite(float(metrics["gen_loss"]))
     assert np.isfinite(float(metrics["dis_loss"]))
+
+
+# ---------------- mixed precision (bf16 compute) ----------------
+
+
+@pytest.mark.heavy
+def test_lafc_step_bf16_compute_learns_params_stay_f32():
+    """compute_dtype=bf16 runs the model in reduced precision but params,
+    optimizer state and losses remain f32; loss still decreases and stays
+    close in direction to the f32 trajectory."""
+    model, params = _init_lafc()
+    tx = make_adam(lambda s: 1e-3)
+    step = make_lafc_train_step(model.apply, tx,
+                                compute_dtype=jnp.bfloat16)
+    opt_state = tx.init(params)
+    batch = {k: jnp.asarray(v) for k, v in _lafc_batch().items()}
+    first = None
+    for _ in range(5):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32
+    assert metrics["loss"].dtype == jnp.float32
+
+
+@pytest.mark.heavy
+def test_fgt_gan_step_bf16_compute():
+    g_apply, d_apply, g_params, d_vars = _init_fgt_gan()
+    g_tx = make_adam(lambda s: 1e-4)
+    d_tx = make_adam(lambda s: 1e-4)
+    step = make_fgt_train_step(g_apply, d_apply, None, g_tx, d_tx,
+                               compute_dtype=jnp.bfloat16)
+    state = GANTrainState(
+        g_params=g_params, d_params=d_vars["params"],
+        d_spectral=d_vars["spectral"], g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_vars["params"]), step=jnp.zeros((), jnp.int32))
+    batch = {k: jnp.asarray(v) for k, v in _fgt_batch().items()}
+    for _ in range(2):
+        state, metrics = step(state, batch, None)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    for leaf in jax.tree_util.tree_leaves(state.g_params):
+        assert leaf.dtype == jnp.float32
+    # D stays f32 (spectral power-iteration state untouched by the cast)
+    for leaf in jax.tree_util.tree_leaves(state.d_spectral):
+        assert leaf.dtype == jnp.float32
+
+
+@pytest.mark.heavy
+def test_fgt_gan_step_single_forward_equivalence():
+    """The production step runs ONE generator forward (jax.vjp residual
+    reuse). It must match the naive two-forward formulation (fake for the
+    D update recomputed independently of the G grad) — same D-first /
+    G-vs-updated-D ordering as the reference (network.py:133-157)."""
+    import optax
+
+    from fgt_tpu.train import losses as L
+    from fgt_tpu.train.fgt_step import FGTLossWeights, norm_flows_nhwc
+
+    g_apply, d_apply, g_params, d_vars = _init_fgt_gan()
+    g_tx = make_adam(lambda s: 1e-4)
+    d_tx = make_adam(lambda s: 1e-4)
+    w = FGTLossWeights()
+
+    def two_pass_step(state, batch):
+        frames, masks = batch["frames"], batch["masks"]
+        flows = norm_flows_nhwc(batch["flows"])
+        masked = frames * (1 - masks)
+
+        def d_loss_fn(d_params, d_spectral, real, fake):
+            lr_, spec = d_apply({"params": d_params, "spectral": d_spectral},
+                                real, sn_update=True)
+            loss_r = L.adversarial_loss(lr_, True, True, w.gan_kind)
+            lf_, spec = d_apply({"params": d_params, "spectral": spec},
+                                jax.lax.stop_gradient(fake), sn_update=True)
+            loss_f = L.adversarial_loss(lf_, False, True, w.gan_kind)
+            return (loss_r + loss_f) / 2.0, spec
+
+        def g_loss_fn(g_params, d_params, spec):
+            filled = g_apply(g_params, masked, flows, masks)
+            comp = filled * masks + frames * (1 - masks)
+            logits, _ = d_apply({"params": d_params, "spectral": spec},
+                                comp, sn_update=False)
+            gan = L.adversarial_loss(logits, True, False, w.gan_kind)
+            l1v = L.l1_normalized(filled, frames, 1 - masks)
+            l1m = L.l1_normalized(filled, frames, masks)
+            return l1v * w.L1M + l1m * w.L1V + gan * w.adv
+
+        filled = g_apply(state.g_params, masked, flows, masks)
+        fake = jax.lax.stop_gradient(filled * masks + frames * (1 - masks))
+        (dl, spec), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, state.d_spectral, frames, fake)
+        d_up, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_up)
+        gl, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params,
+                                                    d_params, spec)
+        g_up, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_up)
+        return GANTrainState(g_params, d_params, spec, g_opt, d_opt,
+                             state.step + 1), dl, gl
+
+    step = make_fgt_train_step(g_apply, d_apply, None, g_tx, d_tx, w)
+    state0 = GANTrainState(
+        g_params=g_params, d_params=d_vars["params"],
+        d_spectral=d_vars["spectral"], g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_vars["params"]), step=jnp.zeros((), jnp.int32))
+    batch = {k: jnp.asarray(v) for k, v in _fgt_batch().items()}
+
+    s1, m = step(state0, batch, None)
+    s2, dl2, gl2 = jax.jit(two_pass_step)(state0, batch)
+
+    assert np.allclose(float(m["dis_loss"]), float(dl2), rtol=1e-5)
+    assert np.allclose(float(m["gen_loss"]), float(gl2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
+                    jax.tree_util.tree_leaves(s2.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
