@@ -121,14 +121,14 @@ def run_lafc(args, timer, results):
 
     # checkpoint -> continue vs restore -> continue
     path = "/tmp/bench_train_lafc.msgpack"
-    ckpt.save_pytree({"params": jax.device_get(params),
-                      "opt": jax.device_get(opt_state)}, path)
+    host_state = {"params": jax.device_get(params),
+                  "opt": jax.device_get(opt_state)}  # before donation
+    ckpt.save_pytree(host_state, path)
     cont, p2, o2 = [], params, opt_state
     for _ in range(3):
-        p2, o2, m = step(p2, o2, batch)
+        p2, o2, m = step(p2, o2, batch)   # donates p2/o2 buffers
         cont.append(float(m["loss"]))
-    st = ckpt.load_pytree({"params": jax.device_get(params),
-                           "opt": jax.device_get(opt_state)}, path)
+    st = ckpt.load_pytree(host_state, path)
     p3, o3, res = st["params"], st["opt"], []
     for _ in range(3):
         p3, o3, m = step(p3, o3, batch)
@@ -149,7 +149,7 @@ def run_lafc(args, timer, results):
            "resume_trajectory_matches": resume_ok,
            "losses_every10": [round(x, 4) for x in losses]}
     print(json.dumps(rec))
-    results["lafc"] = rec
+    results["lafc" + ("_bf16" if args.bf16 else "")] = rec
 
 
 def run_fgt(args, timer, results):
@@ -220,12 +220,13 @@ def run_fgt(args, timer, results):
         wall = time.perf_counter() - t0
 
     path = "/tmp/bench_train_fgt.msgpack"
-    ckpt.save_pytree(jax.device_get(state), path)
+    host_state = jax.device_get(state)   # before donation invalidates it
+    ckpt.save_pytree(host_state, path)
     cont, s2 = [], state
     for _ in range(3):
-        s2, m = step(s2, batch, None)
+        s2, m = step(s2, batch, None)    # donates s2 buffers
         cont.append(float(m["gen_loss"]))
-    s3 = ckpt.load_pytree(jax.device_get(state), path)
+    s3 = ckpt.load_pytree(host_state, path)
     res = []
     for _ in range(3):
         s3, m = step(s3, batch, None)
@@ -246,7 +247,7 @@ def run_fgt(args, timer, results):
            "resume_trajectory_matches": resume_ok,
            "l1_every10": [round(x, 4) for x in l1s]}
     print(json.dumps(rec))
-    results["fgt"] = rec
+    results["fgt" + variant] = rec
 
 
 def main():
@@ -279,8 +280,17 @@ def main():
         run_fgt(args, timer, results)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_TRAIN.json")
+    # merge with prior runs so f32/bf16/flash variants coexist in the record
+    merged: dict = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":

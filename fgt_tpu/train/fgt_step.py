@@ -21,6 +21,7 @@ defaults are unaffected.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -63,7 +64,7 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
                         d_tx: optax.GradientTransformation,
                         weights: FGTLossWeights = FGTLossWeights(),
                         bi_mode: str | None = None,
-                        compute_dtype=None):
+                        compute_dtype=None, donate: bool = True):
     """Build ``step(state, batch, flow_params) -> (state, metrics)``.
 
     * g_apply(params, frames, flows, masks) -> filled frames [B,T,H,W,3]
@@ -147,7 +148,10 @@ def make_fgt_train_step(g_apply: Callable, d_apply: Callable,
                     + gan * weights.adv)
         return gen_loss, (gan, l1_valid, l1_masked)
 
-    @jax.jit
+    # donate the train state (default): params/opt buffers update in place
+    # (flow_params is the frozen oracle — reused across steps, never
+    # donated). Callers that reuse the pre-step state pass donate=False.
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: GANTrainState, batch, flow_params):
         frames, masks = batch["frames"], batch["masks"]
         if bi_mode == "fuse":

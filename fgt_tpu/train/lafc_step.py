@@ -13,6 +13,7 @@ the batch arrives sharded on axis 0 and XLA inserts the gradient psum.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
@@ -41,7 +42,7 @@ def cast_floats(tree, dtype):
 
 def make_lafc_train_step(model_apply: Callable, tx: optax.GradientTransformation,
                          weights: LAFCLossWeights = LAFCLossWeights(),
-                         compute_dtype=None):
+                         compute_dtype=None, donate: bool = True):
     """Returns ``step(params, opt_state, batch) -> (params, opt_state,
     metrics)``. ``batch`` (all NHWC, window axis T=num_flows):
 
@@ -96,7 +97,11 @@ def make_lafc_train_step(model_apply: Callable, tx: optax.GradientTransformation
                    "ternary": tern, "edge": e_loss}
         return total, metrics
 
-    @jax.jit
+    # donate params+opt (default): the updated pytrees reuse the old
+    # buffers in place (no 2x HBM residency across the update). Callers
+    # that reuse the pre-step state (equivalence tests) pass donate=False.
+    @functools.partial(jax.jit,
+                       donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, batch):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)

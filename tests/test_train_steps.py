@@ -138,7 +138,8 @@ def test_lafc_step_dp_equivalence():
     """Gradient math on an 8-device dp mesh must equal single-device."""
     model, params = _init_lafc()
     tx = make_adam(lambda s: 1e-3)
-    step = make_lafc_train_step(model.apply, tx)
+    # donate=False: params are reused for the replicated-vs-mesh comparison
+    step = make_lafc_train_step(model.apply, tx, donate=False)
     batch_np = _lafc_batch(b=8)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     p1, o1, m1 = step(params, tx.init(params), batch)
@@ -337,7 +338,9 @@ def test_fgt_gan_step_single_forward_equivalence():
         return GANTrainState(g_params, d_params, spec, g_opt, d_opt,
                              state.step + 1), dl, gl
 
-    step = make_fgt_train_step(g_apply, d_apply, None, g_tx, d_tx, w)
+    # donate=False: state0 is fed to both formulations
+    step = make_fgt_train_step(g_apply, d_apply, None, g_tx, d_tx, w,
+                               donate=False)
     state0 = GANTrainState(
         g_params=g_params, d_params=d_vars["params"],
         d_spectral=d_vars["spectral"], g_opt=g_tx.init(g_params),
