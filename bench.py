@@ -157,11 +157,12 @@ def main():
             "tflops_per_s": {k: round(v.get("tflops_per_s", 0.0), 2)
                              for k, v in costs.items()},
             # device-busy vs host-wait split: upload/fetch are measured
-            # tunnel transfers (bytes included); the remainder of each
-            # stage wall is device execution + dispatch (under axon,
-            # block_until_ready is a no-op, so device execution time is
+            # tunnel transfers (bytes included); device_s is the measured
+            # block_until_ready wall after dispatch (under axon a late
+            # block can be a no-op, in which case remaining device time is
             # absorbed into the first fetch of its outputs)
             "wire": {k: {"upload_s": round(v.get("upload_s", 0.0), 3),
+                         "device_s": round(v.get("device_s", 0.0), 3),
                          "upload_mb": round(v.get("upload_bytes", 0.0)
                                             / 1e6, 2),
                          "fetch_s": round(v.get("fetch_s", 0.0), 3),

@@ -1325,7 +1325,10 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     # RAFT memory scales with the FLOW resolution (864x480 at the default
     # 432x240 input because of the 2x upscale rule)
     # chunk 8: halves the per-call tunnel latency overhead; corr volumes
-    # at the 864x480 flow ceiling stay ~1.3 GB bf16 (fits one 16 GB chip)
+    # at the 864x480 flow ceiling stay ~1.3 GB bf16 (fits one 16 GB chip).
+    # chunk 16 was probed and measured SLOWER e2e (s1 3.16s -> 3.75s on the
+    # 24-frame bench): the marginal dispatch saving loses to the bigger
+    # per-chunk fetch stall at tunnel bandwidth.
     raft_chunk = _auto("raft_chunk", 8, flow_h, flow_w, 480, 864)
     chunked = bool(getattr(args, "chunked_dispatch", False))
     flows_dev_f = flows_dev_b = None
@@ -1373,6 +1376,8 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
 
     # img_h/img_w may have grown under extrapolation — size the LAFC and
     # FGT batches to the CURRENT canvas
+    # 16 beat 24 on the 24-frame bench (s2 1.57s vs 2.05s): the last chunk's
+    # padding waste grows faster than the dispatch saving
     lafc_chunk = _auto("lafc_chunk", 16, img_h, img_w, 240, 432)
     comp_f_dev = None
     with timer.stage("s2_lafc"):
@@ -1457,7 +1462,7 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     with timer.stage("s6_fgt"):
         frames_first = np.stack(frame_blends)
         masks_np = mask_cur[..., None].astype(np.float32)
-        window_batch = _auto("window_batch", 4, img_h, img_w, 240, 432)
+        window_batch = _auto("window_batch", 6, img_h, img_w, 240, 432)
         if chunked or getattr(args, "exact_windows", False):
             comp_frames = fgt_synthesis(
                 models, frames_first, masks_np, videoFlowF,

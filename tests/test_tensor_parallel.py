@@ -121,7 +121,9 @@ def test_gan_train_step_on_dp_tp_mesh(fgt_setup):
         return disc.apply(variables, video), variables["spectral"]
 
     g_tx, d_tx = make_adam(lambda s: 1e-4), make_adam(lambda s: 1e-4)
-    step = make_fgt_train_step(g_apply, d_apply, None, g_tx, d_tx)
+    # donate=False: params/d_vars feed both the dp and dp x tp runs
+    step = make_fgt_train_step(g_apply, d_apply, None, g_tx, d_tx,
+                               donate=False)
 
     def run(mesh, tp: bool):
         state = GANTrainState(

@@ -79,7 +79,7 @@ def plan(args):
             pass
     ids_mat, t_n = fgt_window_ids(n, args.neighbor_stride, args.step,
                                   args.num_ref)
-    wb = max(1, min(_auto(args.window_batch, 4, img_h, img_w, 240, 432),
+    wb = max(1, min(_auto(args.window_batch, 6, img_h, img_w, 240, 432),
                     ids_mat.shape[0]))
     ids_k_shape = _scan_chunks(ids_mat, wb).shape
 
