@@ -721,12 +721,15 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
     pairs = n - 1
     s_f = np.arange(pairs, dtype=np.int32)
     d_f = np.arange(1, pairs + 1, dtype=np.int32)
-    src = np.concatenate([s_f, d_f])     # forward then backward
-    dst = np.concatenate([d_f, s_f])
-    total = 2 * pairs
-    chunk = max(1, min(chunk, total))
-    idx = np.stack([_scan_chunks(src, chunk),
-                    _scan_chunks(dst, chunk)], axis=1)    # [K, 2, B]
+    chunk = max(1, min(chunk, pairs))
+    # one scan program per direction (same shape -> one compile): the
+    # backward dispatch queues behind the forward one, so the ~10 MB
+    # forward-flow fetch streams over the tunnel WHILE the device runs
+    # the backward chunks (dispatch is async under axon)
+    idx_f = np.stack([_scan_chunks(s_f, chunk),
+                      _scan_chunks(d_f, chunk)], axis=1)  # [K, 2, B]
+    idx_b = np.stack([_scan_chunks(d_f, chunk),
+                      _scan_chunks(s_f, chunk)], axis=1)
 
     # Pallas VMEM correlation lookup (cuts the HBM-bound pyramid gather):
     # on under "on"; under "auto" only where the compile guard says this
@@ -741,30 +744,34 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
     else:
         sig = raft_scan_signature(
             models.raft_cfg, str(models.dtype), tuple(video_u8_dev.shape),
-            tuple(idx.shape), iters, (img_h, img_w), (flow_h, flow_w))
+            tuple(idx_f.shape), iters, (img_h, img_w), (flow_h, flow_w))
         use_pl = pg._platform() == "tpu" and pg.allowed(sig, "raft pallas "
                                                              "lookup")
-    out = models.raft_scan(use_pl)(
-        models.raft_vars, video_u8_dev,
-        models.shard_scan_ids(idx, axis=2), iters,
-        img_h, img_w, flow_h, flow_w)
-    flows = _fetch(out[:total]).astype(np.float32)
-    return (flows[:pairs], flows[pairs:],
-            out[:pairs], out[pairs:total])
+    fn = models.raft_scan(use_pl)
+    out_f = fn(models.raft_vars, video_u8_dev,
+               models.shard_scan_ids(idx_f, axis=2), iters,
+               img_h, img_w, flow_h, flow_w)
+    out_b = fn(models.raft_vars, video_u8_dev,
+               models.shard_scan_ids(idx_b, axis=2), iters,
+               img_h, img_w, flow_h, flow_w)
+    flows_f = _fetch(out_f[:pairs]).astype(np.float32)   # overlaps out_b
+    flows_b = _fetch(out_b[:pairs]).astype(np.float32)
+    return flows_f, flows_b, out_f[:pairs], out_b[:pairs]
 
 
-def complete_flows_scan(models: Models, flows: np.ndarray,
-                        flows_dev, masks: np.ndarray,
-                        chunk: int = 8):
-    """LAFC completion in ONE dispatch (scan over window chunks) with
-    packed hole transfers: regionfill diffusion and the LAFC composite
-    only change pixels inside the (dilated) flow mask, so only those
-    values cross the wire in either direction — the raw flows are already
-    device-resident from the RAFT stage.
+def complete_flows_scan_dispatch(models: Models, flows: np.ndarray,
+                                 flows_dev, masks: np.ndarray,
+                                 chunk: int = 8):
+    """LAFC completion, dispatch half: regionfill diffusion on host,
+    packed hole upload, ONE device-side scan dispatch. Returns an opaque
+    state for :func:`complete_flows_scan_collect`.
 
-    flows: [t, H, W, 2] float32; flows_dev: matching device handle (wire
-    dtype) or None; masks: [t, H, W, 1] per-frame flow masks.
-    Returns (completed float32 [t, H, W, 2], device handle of the same).
+    Packed hole transfers: diffusion and the LAFC composite only change
+    pixels inside the (dilated) flow mask, so only those values cross the
+    wire in either direction — the raw flows are already device-resident
+    from the RAFT stage. Splitting dispatch from collect lets the second
+    direction's host diffusion and the first's device scan run
+    concurrently (the pipeline dispatches F and B before collecting).
     """
     cfg = models.lafc_config
     num_flows, interval = cfg["num_flows"], cfg.get("flow_interval", 3)
@@ -798,7 +805,14 @@ def complete_flows_scan(models: Models, flows: np.ndarray,
     out = models.lafc_scan_fn(models.lafc_vars, diffused_dev, masks_dev,
                               flows_dev,
                               models.shard_scan_ids(ids_k, axis=1))
-    out = out[:t]
+    return (out[:t], flows, hole_idx, idx_dev)
+
+
+def complete_flows_scan_collect(models: Models, state):
+    """Collect half: fetch the packed (or dense) completed values and
+    compose the host-side float32 flows. Returns (completed float32
+    [t, H, W, 2], device handle of the same)."""
+    out, flows, hole_idx, idx_dev = state
     completed = flows.astype(np.float32, copy=True)
     if idx_dev is not None:
         vals = _fetch(models.gather_holes_fn(out, idx_dev))
@@ -807,6 +821,16 @@ def complete_flows_scan(models: Models, flows: np.ndarray,
     else:
         completed = _fetch(out).astype(np.float32)
     return completed, out
+
+
+def complete_flows_scan(models: Models, flows: np.ndarray,
+                        flows_dev, masks: np.ndarray,
+                        chunk: int = 8):
+    """Dispatch + collect in one call (single-direction convenience)."""
+    return complete_flows_scan_collect(
+        models,
+        complete_flows_scan_dispatch(models, flows, flows_dev, masks,
+                                     chunk=chunk))
 
 
 def fgt_synthesis_scan(models: Models, frames: np.ndarray, masks: np.ndarray,
@@ -1392,10 +1416,16 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
                 # flows were re-padded into the enlarged canvas on host —
                 # the s1 device handles no longer match
                 flows_dev_f = flows_dev_b = None
-            videoFlowF, comp_f_dev = complete_flows_scan(
+            # dispatch both directions before collecting either: B's host
+            # diffusion and packed upload overlap F's device scan, and the
+            # packed fetches overlap the other direction's compute
+            st_f = complete_flows_scan_dispatch(
                 models, flows_f, flows_dev_f, fm[:-1], chunk=lafc_chunk)
-            videoFlowB, _ = complete_flows_scan(
+            st_b = complete_flows_scan_dispatch(
                 models, flows_b, flows_dev_b, fm[1:], chunk=lafc_chunk)
+            videoFlowF, comp_f_dev = complete_flows_scan_collect(models,
+                                                                 st_f)
+            videoFlowB, _ = complete_flows_scan_collect(models, st_b)
     logger.info("flow completion done")
 
     if getattr(args, "vis_completed_flows", False):

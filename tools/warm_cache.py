@@ -57,12 +57,12 @@ def plan(args):
         else (n, flow_h, flow_w, 3)
 
     raft_chunk = _auto(args.raft_chunk, 8, flow_h, flow_w, 480, 864)
-    total = 2 * (n - 1)
-    src = np.arange(total, dtype=np.int32)
-    idx_shape = (np.stack([_scan_chunks(src, max(1, min(raft_chunk,
-                                                        total))),
-                           _scan_chunks(src, max(1, min(raft_chunk,
-                                                        total)))],
+    # one scan program PER DIRECTION (pipeline overlaps the forward fetch
+    # with the backward compute), so the idx shape covers n-1 pairs
+    pairs = n - 1
+    src = np.arange(pairs, dtype=np.int32)
+    c = max(1, min(raft_chunk, pairs))
+    idx_shape = (np.stack([_scan_chunks(src, c), _scan_chunks(src, c)],
                           axis=1)).shape
 
     fgt_cfg = dict(DEFAULT_FGT_CONFIG)
