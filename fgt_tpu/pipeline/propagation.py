@@ -33,6 +33,13 @@ def interp(img: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Bilinear sampling of ``img [H, W(, C)]`` at float coords, zero outside
     (cv2.remap INTER_LINEAR semantics; reference common_utils.py:149-172
     including the 1024-column reshape to bypass cv2's SHRT_MAX limit)."""
+    if img.ndim == 3 and img.shape[2] > 4:
+        # cv2.remap interpolates >4-channel images on a different code path
+        # (not bit-equal); process 3-channel blocks so stacked gx|gy calls
+        # reproduce the separate per-gradient results exactly
+        return np.concatenate(
+            [interp(img[:, :, i:i + 3], x, y)
+             for i in range(0, img.shape[2], 3)], axis=1)
     x = np.asarray(x, dtype=np.float32).reshape(1, -1)
     y = np.asarray(y, dtype=np.float32).reshape(1, -1)
     num = x.shape[1]
@@ -308,14 +315,38 @@ def get_flownn_gradient(cfg: PropagationConfig,
     (have_bn, bx, by, bt, cons_bn), (have_fn, fx, fy, ft, cons_fn) = \
         _run_passes(mask, video_flow_f, video_flow_b, cfg)
 
-    gx_bn = _sample(gradient_x, have_bn, bx, by, bt, mask, forward=True)
-    gy_bn = _sample(gradient_y, have_bn, bx, by, bt, mask, forward=True)
-    gx_fn = _sample(gradient_x, have_fn, fx, fy, ft, mask, forward=False)
-    gy_fn = _sample(gradient_y, have_fn, fx, fy, ft, mask, forward=False)
+    # one chain walk per direction: gx/gy share the NN maps, so sample them
+    # stacked on the channel axis (the kernel is C-generic)
+    g_both = np.concatenate([gradient_x, gradient_y], axis=2)
+    C = gradient_x.shape[2]
+    s_bn = _sample(g_both, have_bn, bx, by, bt, mask, forward=True)
+    s_fn = _sample(g_both, have_fn, fx, fy, ft, mask, forward=False)
+    gx_bn, gy_bn = s_bn[:, :, :C], s_bn[:, :, C:]
+    gx_fn, gy_fn = s_fn[:, :, :C], s_fn[:, :, C:]
 
     gradient_x = gradient_x.copy()
     gradient_y = gradient_y.copy()
     mask_tofill = np.zeros((H, W, N), dtype=bool)
+
+    if not use_nl:
+        # candidate fusion restricted to hole pixels (the NN maps are only
+        # defined there) — ~30x less arithmetic than dense [H, W, N] frames
+        ys, xs, ts = np.nonzero(mask)
+        have = np.stack([have_bn[ys, xs, ts], have_fn[ys, xs, ts]], -1)
+        cons = np.stack([cons_bn[ys, xs, ts], cons_fn[ys, xs, ts]], -1)
+        w = np.exp(-cons / cfg.alpha) * have
+        wsum = w.sum(-1, keepdims=True)
+        fallback = have / np.maximum(have.sum(-1, keepdims=True), 1)
+        weights = np.where(wsum > 0, w / np.maximum(wsum, 1e-30), fallback)
+        any_nn = have.any(-1)
+        for grad, c_bn, c_fn in ((gradient_x, gx_bn, gx_fn),
+                                 (gradient_y, gy_bn, gy_fn)):
+            fused = (c_bn[ys, xs, :, ts] * weights[:, :1]
+                     + c_fn[ys, xs, :, ts] * weights[:, 1:])
+            grad[ys, xs, :, ts] = np.where(any_nn[:, None], fused,
+                                           grad[ys, xs, :, ts])
+        mask_tofill[ys, xs, ts] = ~any_nn
+        return gradient_x, gradient_y, mask_tofill
 
     for t in range(N):
         have_list = [have_bn[:, :, t], have_fn[:, :, t]]

@@ -146,6 +146,55 @@ def test_flownn_native_matches_numpy(monkeypatch):
     np.testing.assert_allclose(out_nat[1], out_np[1], atol=1e-3)
 
 
+def test_flownn_sparse_fusion_matches_dense_oracle():
+    """The hole-pixel-vectorized candidate fusion must equal the dense
+    per-frame formulation it replaced (weights, fallback and masking
+    included)."""
+    import fgt_tpu.pipeline.propagation as P
+
+    rng = np.random.RandomState(7)
+    H, W, N = 36, 52, 6
+    mask = np.zeros((H, W, N), bool)
+    mask[8:26, 14:40, 1:5] = True
+    flow_f = (rng.randn(H, W, 2, N - 1) * 3).astype(np.float32)
+    flow_b = (-flow_f + rng.randn(H, W, 2, N - 1).astype(np.float32) * 0.5)
+    gx = rng.randn(H, W, 3, N).astype(np.float32)
+    gy = rng.randn(H, W, 3, N).astype(np.float32)
+    cfg = PropagationConfig()
+
+    out_gx, out_gy, tofill = get_flownn_gradient(
+        cfg, gx, gy, mask, mask.copy(), flow_f, flow_b)
+
+    # dense oracle, recomputed from the same pass/sample primitives
+    (h_bn, bx, by, bt, c_bn), (h_fn, fx, fy, ft, c_fn) = \
+        P._run_passes(mask, flow_f, flow_b, cfg)
+    gx_bn = P._sample(gx, h_bn, bx, by, bt, mask, True)
+    gy_bn = P._sample(gy, h_bn, bx, by, bt, mask, True)
+    gx_fn = P._sample(gx, h_fn, fx, fy, ft, mask, False)
+    gy_fn = P._sample(gy, h_fn, fx, fy, ft, mask, False)
+    ref_gx, ref_gy = gx.copy(), gy.copy()
+    ref_tofill = np.zeros((H, W, N), bool)
+    for t in range(N):
+        have = np.stack([h_bn[:, :, t], h_fn[:, :, t]], axis=2)
+        any_nn = have.any(axis=2)
+        w = np.exp(-np.stack([c_bn[:, :, t], c_fn[:, :, t]], axis=2)
+                   / cfg.alpha) * have
+        wsum = w.sum(axis=2, keepdims=True)
+        fallback = have / np.maximum(have.sum(axis=2, keepdims=True), 1)
+        weights = np.where(wsum > 0, w / np.maximum(wsum, 1e-30), fallback)
+        for grad, cands in ((ref_gx, (gx_bn, gx_fn)),
+                            (ref_gy, (gy_bn, gy_fn))):
+            fused = sum(c[:, :, :, t] * weights[:, :, i:i + 1]
+                        for i, c in enumerate(cands))
+            grad[:, :, :, t] = np.where(any_nn[:, :, None], fused,
+                                        grad[:, :, :, t])
+        ref_tofill[:, :, t] = (~any_nn) & mask[:, :, t]
+
+    np.testing.assert_array_equal(tofill, ref_tofill)
+    np.testing.assert_allclose(out_gx, ref_gx, atol=1e-6)
+    np.testing.assert_allclose(out_gy, ref_gy, atol=1e-6)
+
+
 def test_flownn_nonlocal_candidates_fill_unreachable_holes():
     """--Nonlocal contract: when temporal chaining fails (inconsistent
     local flows) the key-source candidates [0, N//2, N-1] fill pixels whose
