@@ -629,6 +629,16 @@ class Models:
         return run
 
     @functools.cached_property
+    def scatter_ones_fn(self):
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def run(idx, shape):
+            """Build a [*shape, 1] u8 hole mask on device from packed flat
+            indices — the mask never crosses the wire dense."""
+            flat = jnp.zeros((shape[0] * shape[1] * shape[2], 1), jnp.uint8)
+            return flat.at[idx].set(1).reshape(*shape, 1)
+        return run
+
+    @functools.cached_property
     def gather_holes_fn(self):
         @jax.jit
         def run(flows, idx):
@@ -684,6 +694,11 @@ def _fetch(x) -> np.ndarray:
     a = np.asarray(x)
     LEDGER.add_extra("fetch", _time.perf_counter() - t0, a.nbytes)
     return a
+
+
+# packed hole-transfer index granularity: bucket-padding keeps the number
+# of distinct jit signatures bounded across videos/mask sizes
+_PACK_BUCKET = 1 << 15
 
 
 def _pad_tail(a: np.ndarray, size: int, axis: int = 0) -> np.ndarray:
@@ -796,7 +811,12 @@ def complete_flows_scan_dispatch(models: Models, flows: np.ndarray,
     else:
         idx_dev = None
         diffused_dev = _put(diffused.astype(models.wire_np))
-    masks_dev = _put(masks.astype(np.uint8))
+    if idx_dev is not None:
+        # the hole mask is exactly the packed index set — build it on
+        # device instead of uploading the dense [t, H, W, 1] plane
+        masks_dev = models.scatter_ones_fn(idx_dev, (t, h, w))
+    else:
+        masks_dev = _put(masks.astype(np.uint8))
 
     ids = np.asarray([indices_gen(i, interval, num_flows, t)
                       for i in range(t)], np.int32)          # [t, T]
@@ -837,22 +857,51 @@ def fgt_synthesis_scan(models: Models, frames: np.ndarray, masks: np.ndarray,
                        flows_f: np.ndarray, flows_dev,
                        neighbor_stride: int = 5, step: int = 10,
                        num_ref: int = -1,
-                       window_batch: int = 4) -> list[np.ndarray]:
+                       window_batch: int = 4,
+                       base_u8: np.ndarray | None = None,
+                       base_u8_dev=None) -> list[np.ndarray]:
     """FGT windowed synthesis + overlap-averaged composite in ONE dispatch
     (reference :699-748). The scan runs batched window forwards and folds
-    each window into the composite buffer in pivot order on device; only
-    the final [N, H, W, 3] u8 frames are fetched.
+    each window into the composite buffer in pivot order on device.
+
+    Packed wire contract: with ``base_u8``/``base_u8_dev`` (the exact u8
+    video uploaded at s1, host + device copies), only the pixels Poisson
+    changed are scattered up, the hole mask is scatter-built on device,
+    and only hole pixels are gathered back — outside the hole the device
+    fold reproduces the input u8 bit-exactly (new = valid, averaging is
+    idempotent, trunc-cast restores the integer), so the composed host
+    frames equal the dense fetch.
     """
-    n = frames.shape[0]
+    n, h, w = frames.shape[:3]
     ids_mat, t_n = fgt_window_ids(n, neighbor_stride, step, num_ref)
     w_total = ids_mat.shape[0]
 
     # round-cast u8 (same buffer feeds the model and the composite valid
     # part; ≤1 LSB from the reference's trunc at :738 — the exact_windows
     # path preserves bit-parity); matches fgt_synthesis' model input cast
-    video_u8 = _put(np.clip(np.round(frames * 255.0), 0, 255)
-                    .astype(np.uint8))
-    masks_u8 = _put(masks.astype(np.uint8))
+    video_u8_np = np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8)
+    hole_idx = np.flatnonzero(masks[..., 0].ravel() > 0).astype(np.int32)
+    bucket = _PACK_BUCKET
+    packed = (base_u8 is not None and base_u8_dev is not None
+              and tuple(base_u8_dev.shape) == video_u8_np.shape
+              and base_u8_dev.dtype == jnp.uint8 and hole_idx.size > 0
+              and 2 * bucket * 8 < video_u8_np.nbytes + masks.nbytes)
+    if packed:
+        chg = np.flatnonzero(
+            (video_u8_np != base_u8).any(-1).ravel()).astype(np.int32)
+        if chg.size:
+            chg_p = _pad_tail(chg, -(-chg.size // bucket) * bucket)
+            video_u8 = models.scatter_holes_fn(
+                base_u8_dev, _put(chg_p),
+                _put(video_u8_np.reshape(-1, 3)[chg_p]))
+        else:
+            video_u8 = base_u8_dev
+        midx = _pad_tail(hole_idx, -(-hole_idx.size // bucket) * bucket)
+        midx_dev = _put(midx)
+        masks_u8 = models.scatter_ones_fn(midx_dev, (n, h, w))
+    else:
+        video_u8 = _put(video_u8_np)
+        masks_u8 = _put(masks.astype(np.uint8))
     if flows_dev is None:
         flows_dev = _put(flows_f.astype(models.wire_np))
 
@@ -874,6 +923,11 @@ def fgt_synthesis_scan(models: Models, frames: np.ndarray, masks: np.ndarray,
     comp = models.fgt_scan(use_flash)(
         models.fgt_vars, video_u8, masks_u8, flows_dev,
         models.shard_scan_ids(ids_k, axis=1), np.int32(w_total), t_n)
+    if packed:
+        vals = _fetch(models.gather_holes_fn(comp, midx_dev))
+        out = video_u8_np.reshape(-1, 3).copy()
+        out[hole_idx] = vals[:hole_idx.size]
+        return list(out.reshape(n, h, w, 3))
     return list(_fetch(comp))
 
 
@@ -1356,6 +1410,7 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     raft_chunk = _auto("raft_chunk", 8, flow_h, flow_w, 480, 864)
     chunked = bool(getattr(args, "chunked_dispatch", False))
     flows_dev_f = flows_dev_b = None
+    video_u8_base = video_u8_dev = None
     with timer.stage("s1_raft"):
         if chunked:
             device_resize = not getattr(args, "cpu_flow_resize", False)
@@ -1377,8 +1432,9 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
                                               False))
             vid_np = (video255 if device_upscale
                       or (flow_h, flow_w) == (img_h, img_w) else video_flow)
-            video_u8_dev = _put(
-                np.clip(np.round(vid_np), 0, 255).astype(np.uint8))
+            video_u8_base = np.clip(np.round(vid_np), 0, 255).astype(
+                np.uint8)
+            video_u8_dev = _put(video_u8_base)
             flows_f, flows_b, flows_dev_f, flows_dev_b = calculate_flows_scan(
                 models, video_u8_dev, n_frames, img_h, img_w, flow_h,
                 flow_w, iters=models.raft_iters, chunk=raft_chunk)
@@ -1504,7 +1560,8 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
             comp_frames = fgt_synthesis_scan(
                 models, frames_first, masks_np, videoFlowF, comp_f_dev,
                 neighbor_stride=args.neighbor_stride, step=args.step,
-                num_ref=args.num_ref, window_batch=window_batch)
+                num_ref=args.num_ref, window_batch=window_batch,
+                base_u8=video_u8_base, base_u8_dev=video_u8_dev)
 
     with timer.stage("s7_write"):
         os.makedirs(args.outroot, exist_ok=True)

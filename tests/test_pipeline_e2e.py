@@ -108,6 +108,42 @@ def test_video_extrapolation_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_fgt_scan_packed_wire_bit_exact(tmp_path, monkeypatch):
+    """The packed-hole s6 wire path (scatter changed pixels up, gather
+    hole pixels back over a device-resident base) must reproduce the
+    dense upload/fetch bit-exactly — outside the hole the device fold
+    returns the input u8 unchanged."""
+    # shrink the bucket so the pack-worthwhile heuristic engages at test
+    # shapes (2 * bucket * 8 must undercut the dense video+mask bytes)
+    monkeypatch.setattr(vi, "_PACK_BUCKET", 256)
+    frames_dir, masks_dir = _make_data(tmp_path)
+    lafc, fgt = _make_ckpts(tmp_path)
+    args = _args(tmp_path, "object_removal", frames_dir, masks_dir, lafc,
+                 fgt)
+    models = vi.Models(args)
+
+    rng = np.random.RandomState(1)
+    n, h, w = 8, 64, 64
+    base = (rng.rand(n, h, w, 3) * 255).round().astype(np.uint8)
+    mask = np.zeros((n, h, w), bool)
+    mask[:, 20:36, 24:44] = True
+    # post-Poisson frames: base with the hole region altered
+    frames = base.astype(np.float32) / 255.0
+    frames[mask] = rng.rand(int(mask.sum()), 3)
+    masks_np = mask[..., None].astype(np.float32)
+    flows = rng.randn(n - 1, h, w, 2).astype(np.float32)
+
+    dense = vi.fgt_synthesis_scan(models, frames, masks_np, flows, None,
+                                  neighbor_stride=3, step=4,
+                                  window_batch=2)
+    base_dev = vi._put(base)
+    packed = vi.fgt_synthesis_scan(models, frames, masks_np, flows, None,
+                                   neighbor_stride=3, step=4,
+                                   window_batch=2, base_u8=base,
+                                   base_u8_dev=base_dev)
+    np.testing.assert_array_equal(np.stack(dense), np.stack(packed))
+
+
 def test_scan_vs_chunked_dispatch_match(tmp_path):
     """The default single-dispatch device-scan stages must produce the
     same video as the round-2 per-chunk pipelined dispatch path (same
