@@ -101,6 +101,19 @@ def warm_pallas_cache():
 
 
 def main():
+    # a dead tunnel would hang backend init for many minutes; wait for the
+    # relay (it flaps) and emit a diagnosable JSON record if it stays down
+    from fgt_tpu.utils.relay import on_axon, wait_for_relay
+
+    if on_axon() and not wait_for_relay(
+            float(os.environ.get("FGT_RELAY_WAIT", "1800"))):
+        print(json.dumps({
+            "metric": "e2e_frames_per_sec_432x240_object_removal",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": "axon relay down (port 8083 unreachable); "
+                     "bench not run"}))
+        sys.exit(1)
+
     root = tempfile.mkdtemp(prefix="fgt_bench_")
     try:
         frames_dir, masks_dir = make_synthetic_data(root)

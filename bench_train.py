@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("FGT_COSTS", "1")
@@ -265,6 +266,15 @@ def main():
                     help="mixed precision: model fwd/bwd in bfloat16, "
                          "params/optimizer/losses in f32")
     args = ap.parse_args()
+
+    from fgt_tpu.utils.relay import on_axon, wait_for_relay
+
+    if on_axon() and not wait_for_relay(
+            float(os.environ.get("FGT_RELAY_WAIT", "1800"))):
+        print(json.dumps({"metric": "train_steps_per_sec", "value": 0.0,
+                          "unit": "steps/s", "vs_baseline": 0.0,
+                          "error": "axon relay down; bench not run"}))
+        sys.exit(1)
 
     from fgt_tpu.utils.compile_cache import enable_compilation_cache
     from fgt_tpu.utils.hostmem import retain_heap

@@ -1,0 +1,51 @@
+"""Axon relay (TPU tunnel) health probes.
+
+The axon PJRT plugin retries a dead relay for many minutes inside backend
+init, so anything that will touch ``jax.devices()`` on the tunnel should
+probe the relay socket first and decide: fall back, wait, or fail fast
+with a useful message (the relay is managed outside this VM and flaps).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import sys
+import time
+
+RELAY_ADDR = ("127.0.0.1", 8083)
+
+
+def on_axon() -> bool:
+    """True when this process' jax would dial the tunnel."""
+    return "axon" in os.environ.get("JAX_PLATFORMS", "")
+
+
+def relay_up(timeout: float = 3.0) -> bool:
+    """One bounded TCP probe of the relay; True when not on axon at all."""
+    if not on_axon():
+        return True
+    try:
+        socket.create_connection(RELAY_ADDR, timeout=timeout).close()
+        return True
+    except OSError:
+        return False
+
+
+def wait_for_relay(max_wait: float = 1800.0, poll: float = 15.0) -> bool:
+    """Poll until the relay answers or ``max_wait`` elapses. Returns its
+    final state. Progress goes to stderr so driver logs show the stall
+    cause instead of a silent hang."""
+    if relay_up():
+        return True
+    t0 = time.monotonic()
+    print(f"[relay] tunnel down at {RELAY_ADDR}; waiting up to "
+          f"{max_wait:.0f}s for it to come back", file=sys.stderr)
+    while time.monotonic() - t0 < max_wait:
+        time.sleep(poll)
+        if relay_up():
+            print(f"[relay] back after {time.monotonic() - t0:.0f}s",
+                  file=sys.stderr)
+            return True
+    print(f"[relay] still down after {max_wait:.0f}s", file=sys.stderr)
+    return False
