@@ -724,14 +724,17 @@ def _scan_chunks(flat: np.ndarray, chunk: int) -> np.ndarray:
 def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
                          n: int, img_h: int, img_w: int,
                          flow_h: int, flow_w: int, iters: int = 20,
-                         chunk: int = 8):
+                         chunk: int = 8, defer_backward: bool = False):
     """RAFT forward+backward flows in ONE dispatch: a device-side scan over
     pair chunks (reference loops python-side per pair, :245-288).
 
     ``video_u8_dev`` holds the video on device at image or flow resolution
     (image-res uploads are upscaled on device when flow runs at 2x).
     Returns (flows_f, flows_b) as float32 [n-1, img_h, img_w, 2] plus the
-    device-resident (forward, backward) wire-dtype handles.
+    device-resident (forward, backward) wire-dtype handles. With
+    ``defer_backward`` the second element is a zero-arg callable producing
+    ``flows_b`` — the caller fetches it later so the ~10 MB backward wire
+    transfer overlaps whatever it dispatches next (the s2 forward scan).
     """
     pairs = n - 1
     s_f = np.arange(pairs, dtype=np.int32)
@@ -770,8 +773,13 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
                models.shard_scan_ids(idx_b, axis=2), iters,
                img_h, img_w, flow_h, flow_w)
     flows_f = _fetch(out_f[:pairs]).astype(np.float32)   # overlaps out_b
-    flows_b = _fetch(out_b[:pairs]).astype(np.float32)
-    return flows_f, flows_b, out_f[:pairs], out_b[:pairs]
+
+    def fetch_b():
+        return _fetch(out_b[:pairs]).astype(np.float32)
+
+    if defer_backward:
+        return flows_f, fetch_b, out_f[:pairs], out_b[:pairs]
+    return flows_f, fetch_b(), out_f[:pairs], out_b[:pairs]
 
 
 def complete_flows_scan_dispatch(models: Models, flows: np.ndarray,
@@ -1435,9 +1443,13 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
             video_u8_base = np.clip(np.round(vid_np), 0, 255).astype(
                 np.uint8)
             video_u8_dev = _put(video_u8_base)
+            # backward flows stay on device for now: their fetch overlaps
+            # the s2 forward dispatch (extrapolation resolves them early —
+            # it needs both directions on host to re-pad the canvas)
             flows_f, flows_b, flows_dev_f, flows_dev_b = calculate_flows_scan(
                 models, video_u8_dev, n_frames, img_h, img_w, flow_h,
-                flow_w, iters=models.raft_iters, chunk=raft_chunk)
+                flow_w, iters=models.raft_iters, chunk=raft_chunk,
+                defer_backward=args.mode != "video_extrapolation")
     video = video255 / 255.0
 
     if args.mode == "video_extrapolation":
@@ -1477,6 +1489,10 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
             # packed fetches overlap the other direction's compute
             st_f = complete_flows_scan_dispatch(
                 models, flows_f, flows_dev_f, fm[:-1], chunk=lafc_chunk)
+            if callable(flows_b):
+                # deferred s1 fetch: the backward wire transfer rides
+                # behind the forward LAFC scan just dispatched
+                flows_b = flows_b()
             st_b = complete_flows_scan_dispatch(
                 models, flows_b, flows_dev_b, fm[1:], chunk=lafc_chunk)
             videoFlowF, comp_f_dev = complete_flows_scan_collect(models,
