@@ -128,22 +128,38 @@ def main():
     total = raft_total + lafc_total + fgt_total + cpu_total
     fps = n / total
 
-    out = {
-        "host": "same container as bench.py (torch CPU; no CUDA available;"
-                " reference pretrained weights are git-LFS missing ->"
-                " random init)",
-        "protocol": f"object removal 432x240, {n} frames, flows at 2x,"
-                    " 20 RAFT iters, neighbor_stride 5",
+    per_stage = {
         "raft_s_per_pair": round(t_raft, 3),
         "lafc_s_per_window": round(t_lafc, 3),
         "fgt_s_per_window": round(t_fgt, 3),
         "cpu_stages_s_per_frame": 0.15,
-        "e2e_total_s": round(total, 2),
-        "e2e_fps": round(fps, 4),
+        "composed_e2e_total_s": round(total, 2),
+        "composed_e2e_fps": round(fps, 4),
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        os.pardir, "BASELINE_MEASURED.json")
-    with open(os.path.abspath(path), "w") as f:
+    path = os.path.abspath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir,
+        "BASELINE_MEASURED.json"))
+    # the real measured e2e record (tools/measure_reference_e2e.py) owns
+    # this file — merge the per-stage numbers in, never clobber it
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    if out.get("measured"):
+        out["per_stage_isolated"] = per_stage
+    else:
+        out = {
+            "host": "same container as bench.py (torch CPU; no CUDA"
+                    " available; reference pretrained weights are git-LFS"
+                    " missing -> random init)",
+            "protocol": f"object removal 432x240, {n} frames, flows at 2x,"
+                        " 20 RAFT iters, neighbor_stride 5",
+            "measured": False,
+            "e2e_total_s": round(total, 2),
+            "e2e_fps": round(fps, 4),
+            "per_stage_isolated": per_stage,
+        }
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 
