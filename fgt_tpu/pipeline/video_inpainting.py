@@ -252,23 +252,40 @@ class Models:
         self.dp_size = 1
         self._dp_warned: set = set()
         tp = int(getattr(args, "tp", 1) or 1)
-        if ((getattr(args, "dp", False) or tp > 1)
+        sp = int(getattr(args, "sp", 1) or 1)
+        if ((getattr(args, "dp", False) or tp > 1 or sp > 1)
                 and len(jax.devices()) > 1):
             from fgt_tpu.parallel.mesh import make_mesh
             from fgt_tpu.parallel.partition import (put_partitioned,
                                                     tp_param_fraction)
 
-            self.mesh = make_mesh(tp=tp)
+            self.mesh = make_mesh(tp=tp, sp=sp)
             self.dp_size = int(self.mesh.devices.shape[0])
+            if sp > 1:
+                # Ulysses temporal sequence parallelism: rebuild the FGT
+                # module with its folded frame axis constrained to the sp
+                # mesh axis (params are untouched — same shapes)
+                self.fgt_config["seq_axis"] = "sp"
+                self.fgt_model = build_model(self.fgt_config["model"],
+                                             self.fgt_config)
             if tp > 1:
                 self.fgt_vars = put_partitioned(self.mesh, self.fgt_vars)
                 logger.info(
-                    "dp=%d x tp=%d inference mesh; %.0f%% of FGT params "
-                    "tp-sharded", self.dp_size, tp,
+                    "dp=%d x tp=%d x sp=%d inference mesh; %.0f%% of FGT "
+                    "params tp-sharded", self.dp_size, tp, sp,
                     100 * tp_param_fraction(self.mesh, self.fgt_vars))
             else:
-                logger.info("dp inference over %d devices",
-                            self.mesh.devices.size)
+                logger.info("dp=%d x sp=%d inference mesh over %d devices",
+                            self.dp_size, sp, self.mesh.devices.size)
+
+    def mesh_scope(self):
+        """Context manager activating the mesh for traces that carry
+        sequence-parallel sharding constraints (no-op otherwise)."""
+        import contextlib
+
+        if self.mesh is not None and "sp" in self.mesh.axis_names:
+            return jax.sharding.set_mesh(self.mesh)
+        return contextlib.nullcontext()
 
     def shard_chunk(self, ids):
         """Place a window-index chunk with its batch axis dp-sharded
@@ -928,9 +945,10 @@ def fgt_synthesis_scan(models: Models, frames: np.ndarray, masks: np.ndarray,
         use_flash = pg.allowed(sig, "flash attention")
     elif use_flash:
         use_flash = False     # sharded variant unprobed -> XLA path
-    comp = models.fgt_scan(use_flash)(
-        models.fgt_vars, video_u8, masks_u8, flows_dev,
-        models.shard_scan_ids(ids_k, axis=1), np.int32(w_total), t_n)
+    with models.mesh_scope():
+        comp = models.fgt_scan(use_flash)(
+            models.fgt_vars, video_u8, masks_u8, flows_dev,
+            models.shard_scan_ids(ids_k, axis=1), np.int32(w_total), t_n)
     if packed:
         vals = _fetch(models.gather_holes_fn(comp, midx_dev))
         out = video_u8_np.reshape(-1, 3).copy()
@@ -1218,10 +1236,11 @@ def fgt_synthesis(models: Models, frames: np.ndarray, masks: np.ndarray,
             ref_ids = get_ref_index(f, neighbor_ids, n, step, num_ref)
             ids = neighbor_ids + ref_ids
             masked = (normed[ids] * (1 - masks[ids]))[None]
-            out = np.asarray(models.fgt_fn(
-                models.fgt_vars, jnp.asarray(masked),
-                jnp.asarray(flows[ids][None]),
-                jnp.asarray(masks[ids][None])))[0]
+            with models.mesh_scope():
+                out = np.asarray(models.fgt_fn(
+                    models.fgt_vars, jnp.asarray(masked),
+                    jnp.asarray(flows[ids][None]),
+                    jnp.asarray(masks[ids][None])))[0]
             composite(((out + 1) / 2 * 255).astype(np.uint8), neighbor_ids)
         return list(comp_frames)
 
@@ -1691,6 +1710,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel degree: Megatron-shard the FGT "
                         "attention heads / FFN hidden over a tp mesh axis "
                         "(combines with --dp; devices = dp*tp)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree: Ulysses-shard the FGT "
+                        "folded temporal frame axis over an sp mesh axis "
+                        "(head-scatter all-to-alls inside TMHSA; "
+                        "devices = dp*tp*sp)")
     # bf16 is the default inference dtype (matmul accumulators stay f32):
     # ~2x on the RAFT stage, e2e delta vs f32 bounded by
     # tests/test_pipeline_e2e.py::test_bf16_end_to_end_bounded_delta.

@@ -144,6 +144,29 @@ def test_fgt_scan_packed_wire_bit_exact(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.stack(dense), np.stack(packed))
 
 
+def test_sp_inference_matches_single_device(tmp_path):
+    """--sp 2 (Ulysses sequence-parallel FGT) must reproduce the
+    single-device pipeline output to LSB level on the virtual CPU mesh."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    frames, masks = _make_data(tmp_path)
+    lafc, fgt = _make_ckpts(tmp_path)
+    a1 = _args(tmp_path, "object_removal", frames, masks, lafc, fgt)
+    a1.outroot = str(tmp_path / "out_base")
+    a1.bf16 = False
+    out1 = vi.video_inpainting(a1)
+    a2 = _args(tmp_path, "object_removal", frames, masks, lafc, fgt)
+    a2.outroot = str(tmp_path / "out_sp")
+    a2.bf16 = False
+    a2.sp = 2
+    out2 = vi.video_inpainting(a2)
+    v1 = np.stack(read_video(out1)).astype(int)
+    v2 = np.stack(read_video(out2)).astype(int)
+    assert np.abs(v1 - v2).mean() < 1.3
+
+
 def test_scan_vs_chunked_dispatch_match(tmp_path):
     """The default single-dispatch device-scan stages must produce the
     same video as the round-2 per-chunk pipelined dispatch path (same
