@@ -40,6 +40,14 @@ def args_parser(argv=None) -> argparse.Namespace:
     p.add_argument("--flow_checkPoint", type=str, default="")
     p.add_argument("--dataMode", type=str, default="resize")
     p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--tp", type=int, default=1,
+                   help="Megatron tensor-parallel degree for the FGT "
+                        "generator (attention heads / FFN hidden + Adam "
+                        "state sharded over a tp mesh axis)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="Ulysses sequence-parallel degree: shard the FGT "
+                        "folded temporal frame axis over an sp mesh axis "
+                        "(devices = dp*tp*sp)")
 
     # data
     p.add_argument("--flow2rgb", type=int, default=1)

@@ -105,15 +105,33 @@ class Trainer:
         np.random.seed(seed)
         self.rng = jax.random.PRNGKey(seed)
 
-        self.mesh = make_mesh(devices=opt.get("devices"))
-        self.local_dp = int(self.mesh.devices.size)
+        # dp is the reference's only scaling axis (DDP); tp Megatron-shards
+        # the FGT generator's attention/FFN weights and sp Ulysses-shards
+        # its folded temporal frame axis (both no-ops for the LAFC models,
+        # which replicate across those axes)
+        self.tp = int(opt.get("tp", 1) or 1)
+        self.sp = int(opt.get("sp", 1) or 1)
+        self.mesh = make_mesh(tp=self.tp, sp=self.sp,
+                              devices=opt.get("devices"))
+        self.local_dp = int(self.mesh.devices.shape[0])
         if self.rank <= 0:
-            self.logger.info("mesh: %s over %d local devices",
-                             self.mesh.axis_names, self.local_dp)
+            self.logger.info("mesh: %s over %d local devices (dp=%d tp=%d "
+                             "sp=%d)", self.mesh.axis_names,
+                             self.mesh.devices.size, self.local_dp,
+                             self.tp, self.sp)
 
         self._prepare_dataset()
         self.current_step = 0
         self.start_epoch = 0
+
+    def _mesh_scope(self):
+        """Active-mesh context for traces carrying sp sharding constraints
+        (no-op otherwise)."""
+        import contextlib
+
+        if self.sp > 1:
+            return jax.sharding.set_mesh(self.mesh)
+        return contextlib.nullcontext()
 
     # ---------------- data ----------------
 
@@ -360,6 +378,10 @@ class FGTTrainer(Trainer):
         super().__init__(opt)
         tr = opt["train"]
         self.gen = build_model("model", opt)
+        # the train-step generator carries the sp sharding constraints;
+        # validation/checkpointing use the plain module (same param tree)
+        self.gen_train = (build_model("model", {**opt, "seq_axis": "sp"})
+                          if self.sp > 1 else self.gen)
         self.disc = TemporalPatchGAN(
             in_channels=3, dist_cnum=int(opt.get("dist_cnum", 32)))
 
@@ -402,7 +424,7 @@ class FGTTrainer(Trainer):
             gan_kind=str(tr.get("gan_type", "hinge")))
 
         def g_apply(params, frames, flows, masks):
-            return self.gen.apply(params, frames, flows, masks)
+            return self.gen_train.apply(params, frames, flows, masks)
 
         def d_apply(variables, video, sn_update):
             if sn_update:
@@ -421,9 +443,25 @@ class FGTTrainer(Trainer):
             d_spectral=d_vars["spectral"], g_opt=self.g_tx.init(g_params),
             d_opt=self.d_tx.init(d_vars["params"]),
             step=jnp.zeros((), jnp.int32))
-        self.state = put_replicated(self.mesh, state)
+        self.state = self._place_state(state)
         if opt.get("path", {}).get("gen_state"):
             self._resume(opt["path"])
+
+    def _place_state(self, state: "GANTrainState") -> "GANTrainState":
+        """Mesh placement: generator params + Adam state Megatron-sharded
+        over tp (rule table in fgt_tpu/parallel/partition.py), everything
+        else replicated."""
+        if self.tp > 1:
+            from fgt_tpu.parallel.partition import put_partitioned
+
+            return state._replace(
+                g_params=put_partitioned(self.mesh, state.g_params),
+                g_opt=put_partitioned(self.mesh, state.g_opt),
+                d_params=put_replicated(self.mesh, state.d_params),
+                d_spectral=put_replicated(self.mesh, state.d_spectral),
+                d_opt=put_replicated(self.mesh, state.d_opt),
+                step=put_replicated(self.mesh, state.step))
+        return put_replicated(self.mesh, state)
 
     def _dataset_name(self) -> str:
         return "train_dataset"
@@ -436,7 +474,8 @@ class FGTTrainer(Trainer):
         else:
             b["flows"] = batch.get("forward_flo", batch.get("backward_flo"))
         b = put_batch(self.mesh, {k: jnp.asarray(v) for k, v in b.items()})
-        self.state, metrics = self.step(self.state, b, self.flow_params)
+        with self._mesh_scope():
+            self.state, metrics = self.step(self.state, b, self.flow_params)
         return metrics
 
     def save_checkpoint(self, epoch: int) -> None:
@@ -472,11 +511,10 @@ class FGTTrainer(Trainer):
             self.start_epoch = int(st["epoch"])
             self.current_step = int(st["iteration"])
             g_opt, d_opt = st["g_opt"], st["d_opt"]
-        self.state = GANTrainState(
+        self.state = self._place_state(GANTrainState(
             g_params=g, d_params=d_params, d_spectral=d_spec,
             g_opt=g_opt, d_opt=d_opt,
-            step=jnp.asarray(self.current_step, jnp.int32))
-        self.state = put_replicated(self.mesh, self.state)
+            step=jnp.asarray(self.current_step, jnp.int32)))
         if self.rank <= 0:
             self.logger.info("resumed from %s (finetune=%s)",
                              paths["gen_state"], self.opt.get("finetune"))

@@ -135,6 +135,31 @@ def test_fgt_trainer_end_to_end_and_resume(tmp_path, tree):
     assert trainer3.current_step == 3
 
 
+def test_fgt_trainer_tp_sp_mesh(tmp_path, tree):
+    """The trainer CLI drives the FGT GAN step on a dp x tp x sp mesh:
+    generator params + Adam state tp-sharded, folded frame axis
+    sp-sharded, losses finite, checkpoint trio still saved (gathered)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    extra = dict(FGT_SMALL)
+    extra.update({"name": "test_tpsp", "tp": 2, "sp": 2})
+    trainer, out = _run(tmp_path, tree, "model", extra)
+    assert trainer.current_step == 3
+    assert trainer.mesh.axis_names == ("dp", "tp", "sp")
+    assert trainer.mesh.devices.shape == (2, 2, 2)
+    # tp really sharded the generator params
+    from fgt_tpu.parallel.partition import tp_param_fraction
+
+    assert tp_param_fraction(trainer.mesh, trainer.state.g_params) > 0
+    run_dir = out / "test_tpsp"
+    metrics = [json.loads(l) for l in
+               open(run_dir / "tb" / "metrics.jsonl")]
+    assert np.isfinite(metrics[-1]["gen_loss"])
+    assert glob.glob(str(run_dir / "checkpoints" / "gen_*.msgpack"))
+
+
 @pytest.mark.parametrize("bi_mode", ["fuse", "alternate"])
 def test_fgt_bi_direction_trains(tmp_path, tree, bi_mode):
     """'bi' flow direction trains with finite losses — the reference
