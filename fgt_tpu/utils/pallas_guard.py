@@ -78,14 +78,47 @@ def canonical_dtype(dtype) -> str:
     return np.dtype(dtype).name
 
 
+_CODE_FP = None
+
+
+def _code_fingerprint() -> str:
+    """Hash of the package sources that define the traced stage programs.
+
+    A shape/config signature alone is not safe across code changes: editing
+    a scan body keeps the signature while invalidating the persistent-XLA
+    executable, so ``allowed()`` would green-light a FRESH in-process
+    Mosaic compile — the exact tunnel hang the guard exists to prevent.
+    Folding the source hash in makes any compute-path edit a new signature,
+    which the bounded warm-cache probe then re-records before the pipeline
+    owns the device (over-invalidation just costs one bounded re-warm)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha1()
+        for sub in ("core", "models", "ops", "parallel", "pipeline"):
+            d = os.path.join(pkg, sub)
+            if not os.path.isdir(d):
+                continue
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".py"):
+                    path = os.path.join(d, name)
+                    h.update(name.encode())
+                    with open(path, "rb") as f:
+                        h.update(f.read())
+        _CODE_FP = h.hexdigest()[:12]
+    return _CODE_FP
+
+
 def signature(kind: str, **fields) -> str:
     """Stable signature for a pallas-bearing program: kind + shape/config
-    fields + jax version (a jax upgrade invalidates compiled artifacts)."""
+    fields + jax version + a hash of the compute-path sources (a jax
+    upgrade or a code change invalidates compiled artifacts)."""
     import jax
 
     if "dtype" in fields:
         fields["dtype"] = canonical_dtype(fields["dtype"])
-    blob = json.dumps({"kind": kind, "jax": jax.__version__, **fields},
+    blob = json.dumps({"kind": kind, "jax": jax.__version__,
+                       "code": _code_fingerprint(), **fields},
                       sort_keys=True, default=str)
     return f"{kind}-" + hashlib.sha1(blob.encode()).hexdigest()[:16]
 

@@ -48,6 +48,17 @@ def test_registry_roundtrip(tmp_path, monkeypatch):
     assert pg.allowed(sig, "unit") or pg._platform() == "tpu"
 
 
+def test_signature_embeds_code_fingerprint(monkeypatch):
+    """A compute-path source edit must change the signature (else a stale
+    registry entry green-lights a fresh in-process Mosaic compile)."""
+    fp = pg._code_fingerprint()
+    assert fp == pg._code_fingerprint()  # cached + deterministic
+    sig_a = pg.signature("unit", shape=(1, 2), dtype="bfloat16")
+    monkeypatch.setattr(pg, "_CODE_FP", fp[::-1])
+    sig_b = pg.signature("unit", shape=(1, 2), dtype="bfloat16")
+    assert sig_a != sig_b
+
+
 def test_warm_cache_signatures_match_pipeline():
     """The planner's signatures must equal what the pipeline computes with
     its live Models state (dtype passed as the jnp scalar-type repr)."""
