@@ -1471,6 +1471,14 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
                 defer_backward=args.mode != "video_extrapolation")
     video = video255 / 255.0
 
+    if getattr(args, "vis_flows", False):
+        # initialized (pre-completion) flows, reference vis_flows at
+        # tool/video_inpainting.py:241-288; resolving a deferred backward
+        # fetch early here only costs overlap on this debug path
+        if callable(flows_b):
+            flows_b = flows_b()
+        _save_flows(args.outroot, flows_f, flows_b, subdir="flow")
+
     if args.mode == "video_extrapolation":
         with timer.stage("s1b_extrapolation"):
             video, flows_f, flows_b, fm2d, md2d = extrapolation(
@@ -1580,6 +1588,9 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     logger.info("poisson blending done; %d px left for FGT",
                 int(mask_cur.sum()))
 
+    if getattr(args, "vis_prop", False):
+        _save_prop(args.outroot, frame_blends, mask_cur)
+
     with timer.stage("s6_fgt"):
         frames_first = np.stack(frame_blends)
         masks_np = mask_cur[..., None].astype(np.float32)
@@ -1625,10 +1636,35 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     return out_path
 
 
-def _save_flows(outroot, flow_f, flow_b):
+def _save_prop(outroot, frame_blends, masks_left):
+    """Stage-I (propagation + Poisson) outputs: png + npy per frame, the
+    reference's save_fgcp (tool/video_inpainting.py:157-177). The pngs go
+    through cv2.imwrite on RGB data exactly as the reference does (its
+    BGR flip happens after the dump)."""
+    dirs = {n: os.path.join(outroot, n) for n in
+            ("prop_frames", "masks_left", "prop_frames_npy",
+             "masks_left_npy")}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    for i, frame in enumerate(frame_blends):
+        m = masks_left[i].astype(np.float32)
+        cv2.imwrite(os.path.join(dirs["prop_frames"], f"{i:05d}.png"),
+                    frame * 255.0)
+        cv2.imwrite(os.path.join(dirs["masks_left"], f"{i:05d}.png"),
+                    m * 255.0)
+        np.save(os.path.join(dirs["prop_frames_npy"], f"{i:05d}.npy"),
+                frame * 255.0)
+        np.save(os.path.join(dirs["masks_left_npy"], f"{i:05d}.npy"),
+                m * 255.0)
+
+
+def _save_flows(outroot, flow_f, flow_b, subdir="completed_flow"):
+    """.flo + flow-RGB png dumps per direction (reference save_flows at
+    tool/video_inpainting.py:120-155 for completed flows; the initialized
+    flows go under ``flow/`` like its vis_flows path at :241-288)."""
     for name, flows in (("forward", flow_f), ("backward", flow_b)):
-        flo_dir = os.path.join(outroot, "completed_flow", f"{name}_flo")
-        png_dir = os.path.join(outroot, "completed_flow", f"{name}_png")
+        flo_dir = os.path.join(outroot, subdir, f"{name}_flo")
+        png_dir = os.path.join(outroot, subdir, f"{name}_png")
         os.makedirs(flo_dir, exist_ok=True)
         os.makedirs(png_dir, exist_ok=True)
         for i in range(flows.shape[0]):

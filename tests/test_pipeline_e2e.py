@@ -78,6 +78,9 @@ def test_object_removal_end_to_end(tmp_path):
     frames, masks = _make_data(tmp_path)
     lafc, fgt = _make_ckpts(tmp_path)
     args = _args(tmp_path, "object_removal", frames, masks, lafc, fgt)
+    # all four reference debug dumps ride along on this run
+    args.vis_flows = args.vis_completed_flows = True
+    args.vis_prop = args.vis_frame = True
     out = vi.video_inpainting(args)
     assert os.path.exists(out)
     vid = read_video(out)
@@ -85,6 +88,14 @@ def test_object_removal_end_to_end(tmp_path):
     assert vid[0].shape[:2] == (64, 64)
     # timings were recorded per stage
     assert os.path.exists(os.path.join(args.outroot, "timings.jsonl"))
+    # debug dump layouts match the reference (tool/video_inpainting.py:
+    # 120-177 save_flows/save_fgcp, :241-288 vis_flows)
+    for sub in ("flow/forward_flo/00000.flo", "flow/backward_png/00000.png",
+                "completed_flow/forward_flo/00000.flo",
+                "prop_frames/00000.png", "masks_left/00000.png",
+                "prop_frames_npy/00000.npy", "masks_left_npy/00000.npy",
+                "frames/00000.png"):
+        assert os.path.exists(os.path.join(args.outroot, sub)), sub
 
 
 @pytest.mark.slow
