@@ -83,7 +83,12 @@ def warm_pallas_cache():
     process BEFORE this process claims the (single-process) TPU. A hung
     Mosaic compile is killed and recorded; the pipeline then takes the XLA
     fallback instead of hanging (round-2 verdict #5)."""
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if "axon" not in plats and "tpu" not in plats:
+        # CPU-only hosts never select the guarded Pallas paths (allowed()
+        # is trivially True there) — don't burn minutes AOT-compiling
+        # programs the pipeline won't run. Non-tunnel TPUs compile safely
+        # in-process (FGT_FORCE_PALLAS=1).
         return
     import subprocess
 

@@ -120,6 +120,10 @@ def read_gen(path: str):
     if ext == "flo":
         return read_flow(path)
     if ext == "pfm":
-        data = read_pfm(path)
-        return data if data.ndim == 3 else data[..., None]
+        # reference frame_utils.read_gen:131-136 — Sintel flow PFMs carry
+        # a junk third channel, dropped here; 2D PFMs return raw [H, W]
+        data = read_pfm(path).astype(np.float32)
+        return data if data.ndim == 2 else data[..., :-1]
+    if ext in ("bin", "raw"):
+        return np.load(path)
     raise ValueError(f"unsupported extension: {path}")

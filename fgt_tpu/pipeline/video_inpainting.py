@@ -779,7 +779,8 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
     else:
         sig = raft_scan_signature(
             models.raft_cfg, str(models.dtype), tuple(video_u8_dev.shape),
-            tuple(idx_f.shape), iters, (img_h, img_w), (flow_h, flow_w))
+            tuple(idx_f.shape), iters, (img_h, img_w), (flow_h, flow_w),
+            wire=np.dtype(models.wire_np).name)
         use_pl = pg._platform() == "tpu" and pg.allowed(sig, "raft pallas "
                                                              "lookup")
     fn = models.raft_scan(use_pl)
@@ -826,7 +827,7 @@ def complete_flows_scan_dispatch(models: Models, flows: np.ndarray,
     packed_bytes = hole_idx.size * (4 + 2 * np.dtype(models.wire_np).itemsize)
     if hole_idx.size and packed_bytes < dense_bytes:
         # bucket-pad the hole count so jit signatures stay bounded
-        bucket = 1 << 15
+        bucket = _PACK_BUCKET
         padded = -(-hole_idx.size // bucket) * bucket
         idx_p = _pad_tail(hole_idx, padded)
         vals = diffused.reshape(-1, 2)[idx_p].astype(models.wire_np)
@@ -941,7 +942,8 @@ def fgt_synthesis_scan(models: Models, frames: np.ndarray, masks: np.ndarray,
     use_flash = bool(models.fgt_config.get("use_flash", 0))
     if use_flash and models.mesh is None:
         sig = fgt_scan_signature(models.fgt_config, str(models.dtype),
-                                 frames.shape, ids_k.shape, t_n)
+                                 frames.shape, ids_k.shape, t_n,
+                                 wire=np.dtype(models.wire_np).name)
         use_flash = pg.allowed(sig, "flash attention")
     elif use_flash:
         use_flash = False     # sharded variant unprobed -> XLA path
@@ -981,9 +983,12 @@ def fgt_window_ids(n: int, neighbor_stride: int, step: int, num_ref: int):
 
 
 def fgt_scan_signature(fgt_config: dict, dtype: str, frames_shape,
-                       ids_k_shape, t_n):
+                       ids_k_shape, t_n, wire: str = "float16"):
     """Guard signature for the flash-bearing FGT scan program (pure: the
-    cache-warming tool computes it without touching a device)."""
+    cache-warming tool computes it without touching a device). ``wire``
+    is the host<->device transfer dtype — it changes the traced program
+    (f16 vs f32 flow inputs), so --wire_f32 must not share a signature
+    with the default wire."""
     from fgt_tpu.utils import pallas_guard as pg
 
     cfg = {k: fgt_config.get(k) for k in
@@ -991,18 +996,19 @@ def fgt_scan_signature(fgt_config: dict, dtype: str, frames_shape,
             "mlp_ratio", "tw", "sw", "gd", "cnum", "use_flash")}
     return pg.signature("fgt_scan", frames=tuple(frames_shape),
                         ids=tuple(ids_k_shape), t_n=t_n, dtype=dtype,
-                        **cfg)
+                        wire=pg.canonical_dtype(wire), **cfg)
 
 
 def raft_scan_signature(raft_cfg, dtype: str, vshape, idx_shape, iters,
-                        out_hw, flow_hw):
+                        out_hw, flow_hw, wire: str = "float16"):
     """Guard signature for the pallas-lookup RAFT scan program (pure)."""
     from fgt_tpu.utils import pallas_guard as pg
 
     return pg.signature("raft_scan", vshape=tuple(vshape),
                         idx=tuple(idx_shape), iters=iters,
                         out=tuple(out_hw), flow=tuple(flow_hw),
-                        dtype=dtype, small=raft_cfg.small,
+                        dtype=dtype, wire=pg.canonical_dtype(wire),
+                        small=raft_cfg.small,
                         alt=raft_cfg.alternate_corr)
 
 
@@ -1211,14 +1217,11 @@ def fgt_synthesis(models: Models, frames: np.ndarray, masks: np.ndarray,
     flows = norm_flows(flows)
     comp_frames: list[Optional[np.ndarray]] = [None] * n
 
-    def composite(out_u8, neighbor_ids, round_valid=False):
-        """out_u8: [T, H, W, 3] uint8 window output. ``round_valid`` uses
-        the round-cast u8 valid part (matches the scan path's shared u8
-        buffer); the default trunc matches the reference bit-for-bit."""
+    def composite(out_u8, neighbor_ids):
+        """out_u8: [T, H, W, 3] uint8 window output; trunc-cast valid part
+        matches the reference bit-for-bit."""
         for k, idx in enumerate(neighbor_ids):
             valid = frames[idx] * 255.0
-            if round_valid:
-                valid = np.round(valid)
             m = masks[idx]
             comp = (out_u8[k] * m
                     + valid.astype(np.uint8) * (1 - m)).astype(np.float32)
@@ -1245,25 +1248,7 @@ def fgt_synthesis(models: Models, frames: np.ndarray, masks: np.ndarray,
         return list(comp_frames)
 
     # ---- fixed-shape batched windows, gathered on device ----
-    t_n = min(n, 2 * neighbor_stride + 1)
-    window_neighbors, window_refs = [], []
-    for f in pivots:
-        start = int(np.clip(f - neighbor_stride, 0, n - t_n))
-        window_neighbors.append(list(range(start, start + t_n)))
-        window_refs.append(get_ref_index(f, window_neighbors[-1], n, step,
-                                         num_ref))
-    n_ref = max(len(r) for r in window_refs)
-    for neigh, refs in zip(window_neighbors, window_refs):
-        # pad the ref list to n_ref with distinct out-of-window frames
-        # (extra global context; outputs for refs are discarded anyway)
-        extra = (i for i in range(n)
-                 if i not in refs and i not in neigh)
-        while len(refs) < n_ref:
-            refs.append(next(extra, refs[-1] if refs else neigh[-1]))
-
-    ids_mat = np.asarray([ne + re for ne, re in
-                          zip(window_neighbors, window_refs)],
-                         np.int32)                   # [W, T]
+    ids_mat, t_n = fgt_window_ids(n, neighbor_stride, step, num_ref)
     # one compact upload for the whole video
     video_u8 = jnp.asarray(
         np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8))
@@ -1285,7 +1270,7 @@ def fgt_synthesis(models: Models, frames: np.ndarray, masks: np.ndarray,
     for (lo, hi), out in zip(bounds,
                              _pipelined(mk(lo, hi) for lo, hi in bounds)):
         for w in range(hi - lo):
-            composite(out[w], window_neighbors[lo + w])
+            composite(out[w], ids_mat[lo + w, :t_n])
     return list(comp_frames)
 
 

@@ -232,3 +232,12 @@ def test_read_gen_dispatch(tmp_path):
     p = str(tmp_path / "x.flo")
     flow_io.write_flow(flow, p)
     assert np.allclose(flow_io.read_gen(p), flow)
+    # .pfm: 3-channel drops the junk last channel (Sintel flow PFMs),
+    # 2D returns the raw [H, W] array — frame_utils.read_gen:131-136
+    pfm3 = np.random.RandomState(4).rand(6, 8, 3).astype(np.float32)
+    p = str(tmp_path / "x.pfm")
+    flow_io.write_pfm(p, pfm3)
+    assert np.allclose(flow_io.read_gen(p), pfm3[..., :-1])
+    gray = np.random.RandomState(5).rand(6, 8).astype(np.float32)
+    flow_io.write_pfm(p, gray)
+    assert flow_io.read_gen(p).shape == (6, 8)

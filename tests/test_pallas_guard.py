@@ -86,3 +86,16 @@ def test_warm_cache_signatures_match_pipeline():
     assert sigs["fgt"] == fgt_scan_signature(
         dict(DEFAULT_FGT_CONFIG), str(jnp.bfloat16), p["frames_shape"],
         p["ids_k_shape"], p["t_n"])
+    # --wire_f32 traces different programs -> must NOT share signatures
+    assert sigs["fgt"] != fgt_scan_signature(
+        dict(DEFAULT_FGT_CONFIG), str(jnp.bfloat16), p["frames_shape"],
+        p["ids_k_shape"], p["t_n"], wire="float32")
+    assert sigs["raft"] != raft_scan_signature(
+        RC, str(jnp.bfloat16), p["vshape"], p["idx_shape"], 20,
+        p["out_hw"], p["flow_hw"], wire="float32")
+    args.wire_f32 = True
+    sigs32 = wc.signatures(args, wc.plan(args))
+    assert sigs32["raft"] != sigs["raft"] and sigs32["fgt"] != sigs["fgt"]
+    assert sigs32["raft"] == raft_scan_signature(
+        RC, str(jnp.bfloat16), p["vshape"], p["idx_shape"], 20,
+        p["out_hw"], p["flow_hw"], wire="float32")

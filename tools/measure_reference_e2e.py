@@ -380,6 +380,12 @@ def main():
                 k: prev[k] for k in ("raft_s_per_pair", "lafc_s_per_window",
                                      "fgt_s_per_window", "e2e_total_s",
                                      "e2e_fps") if k in prev}
+        elif prev:
+            # merge, never clobber: keep data other tools stored in the
+            # record (measure_reference.py adds per_stage_isolated)
+            for k in ("composed_estimate_r2", "per_stage_isolated"):
+                if k in prev and k not in out:
+                    out[k] = prev[k]
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
         print(json.dumps(out, indent=2))

@@ -84,7 +84,10 @@ def plan(args):
     ids_k_shape = _scan_chunks(ids_mat, wb).shape
 
     dtype = "bfloat16" if args.bf16 else "float32"
+    wire = ("float16" if args.bf16 and not getattr(args, "wire_f32", False)
+            else "float32")   # mirror of pipeline wire_dtypes()
     return {
+        "wire": wire,
         "vshape": vshape, "idx_shape": idx_shape, "iters": args.raft_iters,
         "out_hw": (img_h, img_w), "flow_hw": (flow_h, flow_w),
         "frames_shape": (n, img_h, img_w, 3),
@@ -113,11 +116,11 @@ def signatures(args, p):
     if args.stage in ("all", "raft"):
         sigs["raft"] = raft_scan_signature(
             rc, p["dtype"], p["vshape"], p["idx_shape"], p["iters"],
-            p["out_hw"], p["flow_hw"])
+            p["out_hw"], p["flow_hw"], wire=p["wire"])
     if args.stage in ("all", "fgt") and p["fgt_cfg"].get("use_flash", 0):
         sigs["fgt"] = fgt_scan_signature(
             p["fgt_cfg"], p["dtype"], p["frames_shape"], p["ids_k_shape"],
-            p["t_n"])
+            p["t_n"], wire=p["wire"])
     return sigs
 
 
@@ -140,6 +143,7 @@ def run_child(args):
         + (["--small"] if args.small else [])
         + (["--alternate_corr"] if args.alternate_corr else [])
         + (["--f32"] if not args.bf16 else [])
+        + (["--wire_f32"] if getattr(args, "wire_f32", False) else [])
         + (["--fgt_ckpts", args.fgt_ckpts] if args.fgt_ckpts else [])
         + (["--lafc_ckpts", args.lafc_ckpts] if args.lafc_ckpts else []))
     models = Models(pipe_args)
@@ -183,6 +187,9 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--alternate_corr", action="store_true")
     ap.add_argument("--f32", dest="bf16", action="store_false")
+    ap.add_argument("--wire_f32", action="store_true",
+                    help="warm the f32-wire program variants (--wire_f32 "
+                         "pipeline runs trace different programs)")
     ap.add_argument("--cpu_frame_upscale", action="store_true")
     ap.add_argument("--fgt_ckpts", default="checkpoints/fgt")
     ap.add_argument("--lafc_ckpts", default="checkpoints/lafc")
