@@ -1304,10 +1304,25 @@ def extrapolation(video: np.ndarray, flows_f: np.ndarray, flows_b: np.ndarray,
 
 # ---------------- frame/mask loading ----------------
 
+def upscale_video_flow(video255: np.ndarray, flow_h: int,
+                       flow_w: int) -> np.ndarray:
+    """Flow-resolution video from the image-resolution video — exactly the
+    reference's two-step resize (original -> img res -> flow res,
+    tool/video_inpainting.py:490-497). Only the chunked / --Nonlocal /
+    --cpu_frame_upscale paths need this on host; the default scan path
+    upscales on device, skipping a ~120 MB first-touch allocation."""
+    n, h, w = video255.shape[:3]
+    if (flow_h, flow_w) == (h, w):
+        return video255
+    return np.stack([cv2.resize(video255[i], (flow_w, flow_h),
+                                interpolation=cv2.INTER_LINEAR)
+                     for i in range(n)])
+
+
 def load_frames(path: str, img_h: int, img_w: int, flow_h: int, flow_w: int,
                 mask_path: Optional[str] = None, premask: bool = False):
     """Load and resize frames (reference :439-503). Returns
-    (video [N,H,W,3] 0-255 float, video_flow [N,fh,fw,3], src_hw)."""
+    (video [N,H,W,3] 0-255 float, src_hw)."""
     files = sorted(glob.glob(os.path.join(path, "*.png"))
                    + glob.glob(os.path.join(path, "*.jpg")))
     if not files:
@@ -1317,7 +1332,7 @@ def load_frames(path: str, img_h: int, img_w: int, flow_h: int, flow_w: int,
         mask_files = sorted(glob.glob(os.path.join(mask_path, "*.png"))
                             + glob.glob(os.path.join(mask_path, "*.jpg")))
         assert len(files) == len(mask_files)
-    video, video_flow = [], []
+    video = []
     src_hw = None
     for i, fp in enumerate(files):
         frame = imageio.imread(fp).astype(np.float32)
@@ -1333,9 +1348,7 @@ def load_frames(path: str, img_h: int, img_w: int, flow_h: int, flow_w: int,
             frame = frame * (1 - m)
         video.append(cv2.resize(frame, (img_w, img_h),
                                 interpolation=cv2.INTER_LINEAR))
-        video_flow.append(cv2.resize(frame, (flow_w, flow_h),
-                                     interpolation=cv2.INTER_LINEAR))
-    return np.stack(video), np.stack(video_flow), src_hw
+    return np.stack(video), src_hw
 
 
 def load_masks(path: str, img_h: int, img_w: int, flow_mask_dilates: int,
@@ -1392,9 +1405,17 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
 
     with timer.stage("s0_load_frames"):
         premask = args.mode == "watermark_removal"
-        video255, video_flow, src_hw = load_frames(
+        video255, src_hw = load_frames(
             args.path, img_h, img_w, flow_h, flow_w,
             mask_path=args.path_mask, premask=premask)
+    _vf_cache: dict = {}
+
+    def video_flow_fn():
+        """Host flow-res video, built once on first need (chunked /
+        --Nonlocal / host-upscale paths only)."""
+        if "v" not in _vf_cache:
+            _vf_cache["v"] = upscale_video_flow(video255, flow_h, flow_w)
+        return _vf_cache["v"]
     n_frames = video255.shape[0]
     logger.info("loaded %d frames at %dx%d (flow at %dx%d)", n_frames,
                 img_w, img_h, flow_w, flow_h)
@@ -1427,11 +1448,11 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
         if chunked:
             device_resize = not getattr(args, "cpu_flow_resize", False)
             flows_f = calculate_flows(
-                models, video_flow, "forward", img_h, img_w,
+                models, video_flow_fn(), "forward", img_h, img_w,
                 iters=models.raft_iters, chunk=raft_chunk,
                 device_resize=device_resize)
             flows_b = calculate_flows(
-                models, video_flow, "backward", img_h, img_w,
+                models, video_flow_fn(), "backward", img_h, img_w,
                 iters=models.raft_iters, chunk=raft_chunk,
                 device_resize=device_resize)
         else:
@@ -1443,7 +1464,8 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
                               and not getattr(args, "cpu_frame_upscale",
                                               False))
             vid_np = (video255 if device_upscale
-                      or (flow_h, flow_w) == (img_h, img_w) else video_flow)
+                      or (flow_h, flow_w) == (img_h, img_w)
+                      else video_flow_fn())
             video_u8_base = np.clip(np.round(vid_np), 0, 255).astype(
                 np.uint8)
             video_u8_dev = _put(video_u8_base)
@@ -1522,7 +1544,8 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     if getattr(args, "Nonlocal", False):
         with timer.stage("s3b_nonlocal_flows"):
             nl_f, nl_b = calculate_nonlocal_flows(
-                models, video_flow, img_h, img_w, iters=models.raft_iters,
+                models, video_flow_fn(), img_h, img_w,
+                iters=models.raft_iters,
                 chunk=raft_chunk)
             # propagation layout [H, W, 2, 3, N]
             nl_f_t = nl_f.transpose(2, 3, 4, 1, 0)
