@@ -1319,6 +1319,17 @@ def upscale_video_flow(video255: np.ndarray, flow_h: int,
                      for i in range(n)])
 
 
+def _imread(path: str) -> np.ndarray:
+    """cv2 decode (≈1.7x imageio on this host's pngs), RGB order, always
+    3-channel; imageio fallback for formats cv2 rejects. Lossless formats
+    decode bit-identically either way; mask readers take channel 0 of
+    the result, matching the reference's mask_img[:, :, 0]."""
+    a = cv2.imread(path, cv2.IMREAD_COLOR)
+    if a is None:
+        return imageio.imread(path)
+    return a[:, :, ::-1]
+
+
 def load_frames(path: str, img_h: int, img_w: int, flow_h: int, flow_w: int,
                 mask_path: Optional[str] = None, premask: bool = False):
     """Load and resize frames (reference :439-503). Returns
@@ -1335,13 +1346,13 @@ def load_frames(path: str, img_h: int, img_w: int, flow_h: int, flow_w: int,
     video = []
     src_hw = None
     for i, fp in enumerate(files):
-        frame = imageio.imread(fp).astype(np.float32)
+        frame = _imread(fp).astype(np.float32)
         if frame.ndim == 2:
             frame = np.stack([frame] * 3, -1)
         frame = frame[..., :3]
         src_hw = frame.shape[:2]
         if premask:
-            m = imageio.imread(mask_files[i]).astype(np.float32)
+            m = _imread(mask_files[i]).astype(np.float32)
             if m.ndim == 3:
                 m = m[..., 0]
             m = (m > 0).astype(np.float32)[..., None]
@@ -1359,7 +1370,7 @@ def load_masks(path: str, img_h: int, img_w: int, flow_mask_dilates: int,
                    + glob.glob(os.path.join(path, "*.jpg")))
     mask, mask_dilated, flow_mask = [], [], []
     for fp in files:
-        m = imageio.imread(fp)
+        m = _imread(fp)
         if m.ndim == 3:
             m = m[..., 0]
         m = cv2.resize(m, (img_w, img_h), interpolation=cv2.INTER_NEAREST)
@@ -1506,6 +1517,7 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     # padding waste grows faster than the dispatch saving
     lafc_chunk = _auto("lafc_chunk", 16, img_h, img_w, 240, 432)
     comp_f_dev = None
+    st_f = st_b = None
     with timer.stage("s2_lafc"):
         fm = flow_mask[..., None].astype(np.float32)
         if chunked:
@@ -1529,6 +1541,15 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
                 flows_b = flows_b()
             st_b = complete_flows_scan_dispatch(
                 models, flows_b, flows_dev_b, fm[1:], chunk=lafc_chunk)
+
+    with timer.stage("s3_gradients"):
+        # needs only frames+masks, not completed flows — on the scan path
+        # this host work runs while the LAFC device scans are in flight
+        # (StageTimer accumulates the s2 collect segment below)
+        video, gx, gy = prepare_gradients(video, mask, mask_dilated)
+
+    if st_f is not None:
+        with timer.stage("s2_lafc"):
             videoFlowF, comp_f_dev = complete_flows_scan_collect(models,
                                                                  st_f)
             videoFlowB, _ = complete_flows_scan_collect(models, st_b)
@@ -1536,9 +1557,6 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
 
     if getattr(args, "vis_completed_flows", False):
         _save_flows(args.outroot, videoFlowF, videoFlowB)
-
-    with timer.stage("s3_gradients"):
-        video, gx, gy = prepare_gradients(video, mask, mask_dilated)
 
     nl_f_t = nl_b_t = None
     if getattr(args, "Nonlocal", False):
