@@ -62,7 +62,8 @@ def _load():
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float)]
-        if not hasattr(lib, "flownn_pass"):  # stale build of an older .so
+        if not (hasattr(lib, "flownn_pass")
+                and hasattr(lib, "unfilled_mask")):  # stale older .so
             subprocess.run(["make", "-C", _NATIVE_DIR, "clean", "all"],
                            check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(_LIB_PATH)
@@ -80,6 +81,10 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.unfilled_mask.restype = None
+        lib.unfilled_mask.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         logger.info("native CPU kernels loaded (%s)", _LIB_PATH)
         return _lib
@@ -183,3 +188,17 @@ def bilinear_interp(img: np.ndarray, xs: np.ndarray,
                         _ptr(x, ctypes.c_float), _ptr(y, ctypes.c_float),
                         x.size, _ptr(out, ctypes.c_float))
     return out[:, 0] if squeeze else out
+
+
+def unfilled_mask(hole: np.ndarray, gm: np.ndarray) -> np.ndarray:
+    """Poisson connectivity check: hole px unreachable through
+    gradient-valid paths. hole/gm: [H, W] bool-ish; returns [H, W] bool."""
+    lib = _load()
+    assert lib is not None
+    h_arr = np.ascontiguousarray(hole.astype(np.uint8))
+    g_arr = np.ascontiguousarray(gm.astype(np.uint8))
+    h, w = h_arr.shape
+    out = np.empty((h, w), np.uint8)
+    lib.unfilled_mask(_ptr(h_arr, ctypes.c_uint8), _ptr(g_arr, ctypes.c_uint8),
+                      h, w, _ptr(out, ctypes.c_uint8))
+    return out.astype(bool)

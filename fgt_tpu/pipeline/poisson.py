@@ -28,7 +28,16 @@ from scipy.sparse.linalg import lsqr, splu
 
 
 def _unfilled_mask(hole: np.ndarray, grad_mask: np.ndarray) -> np.ndarray:
-    """Hole pixels NOT connected to known pixels via gradient-valid paths."""
+    """Hole pixels NOT connected to known pixels via gradient-valid paths.
+
+    Native single-raster-pass kernel when available (the sweeps'
+    dependencies are acyclic, so one pass computes the fixpoint the
+    vectorized iterations below converge to — parity-tested); numpy
+    fixpoint fallback otherwise."""
+    from fgt_tpu import native
+
+    if native.available():
+        return native.unfilled_mask(hole, grad_mask)
     H, W = hole.shape
     hole = hole.astype(bool)
     gm = grad_mask.astype(bool)

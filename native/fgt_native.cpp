@@ -522,6 +522,39 @@ void flownn_sample(float* grad, const uint8_t* have, const float* nn_x,
   }
 }
 
-int fgt_native_version() { return 2; }
+// Poisson connectivity check (reference Poisson_blend_img.py:151-178):
+// hole pixels NOT reachable from known pixels through gradient-valid
+// 4-paths. The two monotone sweeps have acyclic dependencies (up/left,
+// then down/right), so one raster pass per sweep computes the exact
+// fixpoint the reference's repeated whole-image iterations converge to.
+// Top-left sweep checks gradientMask at the NEIGHBOR; bottom-right at
+// the PIXEL — both quirks preserved.
+void unfilled_mask(const uint8_t* hole, const uint8_t* gm, int H, int W,
+                   uint8_t* out) {
+  const size_t n = static_cast<size_t>(H) * W;
+  std::vector<uint8_t> tl(hole, hole + n);
+  std::vector<uint8_t> br(hole, hole + n);
+  for (int y = 0; y < H; ++y) {
+    for (int x = 0; x < W; ++x) {
+      const size_t i = static_cast<size_t>(y) * W + x;
+      if (!tl[i]) continue;
+      const bool up = y > 0 && !tl[i - W] && !gm[i - W];
+      const bool left = x > 0 && !tl[i - 1] && !gm[i - 1];
+      if (up || left) tl[i] = 0;
+    }
+  }
+  for (int y = H - 1; y >= 0; --y) {
+    for (int x = W - 1; x >= 0; --x) {
+      const size_t i = static_cast<size_t>(y) * W + x;
+      if (!br[i] || gm[i]) continue;
+      const bool down = y < H - 1 && !br[i + W];
+      const bool right = x < W - 1 && !br[i + 1];
+      if (down || right) br[i] = 0;
+    }
+  }
+  for (size_t i = 0; i < n; ++i) out[i] = tl[i] & br[i];
+}
+
+int fgt_native_version() { return 3; }
 
 }  // extern "C"

@@ -73,3 +73,26 @@ def test_bilinear_interp_single_channel():
     got = native.bilinear_interp(img, xs, ys)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_unfilled_mask_matches_numpy_fixpoint(monkeypatch):
+    """Single-raster-pass kernel == the vectorized fixpoint iterations
+    (exactness of the acyclic-DP argument), incl. border-touching holes
+    (outpainting) and gradient-mask patterns."""
+    from fgt_tpu.pipeline import poisson as P
+
+    rng = np.random.RandomState(7)
+    for trial in range(25):
+        H, W = rng.randint(6, 40), rng.randint(6, 40)
+        hole = rng.rand(H, W) < rng.choice([0.15, 0.4, 0.7])
+        if trial % 5 == 0:   # border frame hole
+            hole[:] = False
+            t = rng.randint(1, 4)
+            hole[:t] = hole[-t:] = True
+            hole[:, :t] = hole[:, -t:] = True
+        gm = rng.rand(H, W) < rng.choice([0.0, 0.1, 0.5])
+        got = native.unfilled_mask(hole, gm)
+        with monkeypatch.context() as m:
+            m.setattr(native, "available", lambda: False)
+            want = P._unfilled_mask(hole, gm.astype(np.float32))
+        assert np.array_equal(got, want), (trial, H, W)
