@@ -236,6 +236,78 @@ def _sample(gradient, have, nn_x, nn_y, nn_t, mask, forward):
     return _sample_chains(gradient, have, nn_x, nn_y, nn_t, mask, forward)
 
 
+def get_flownn_gradient_frames(cfg: PropagationConfig,
+                               gradient_x: np.ndarray,
+                               gradient_y: np.ndarray,
+                               mask: np.ndarray,
+                               video_flow_f: np.ndarray,
+                               video_flow_b: np.ndarray):
+    """Frame-first twin of :func:`get_flownn_gradient` (no --Nonlocal).
+
+    gradient_x/y: [N, H, W, C]; mask: [N, H, W] bool;
+    video_flow_f/b: [N-1, H, W, 2] — the pipeline's natural layouts, which
+    are ALSO the native kernels' layouts. The reference-layout entry point
+    spends ~0.7 s/24-frame pass on transpose copies converting
+    [H, W, ..., N] views back to contiguous [N, ...] buffers; this path
+    has none. Equivalence is pinned by test (same math, same kernels).
+
+    Returns (gradient_x, gradient_y, mask_tofill), frame-first.
+    """
+    import os
+
+    from fgt_tpu import native
+    if not (native.available() and not os.environ.get("FGT_PROP_NUMPY")
+            and not os.environ.get("FGT_PROP_DEVICE")):
+        # fallback backends live in reference layout — convert at the rim
+        gx_r, gy_r, tofill_r = get_flownn_gradient(
+            cfg, gradient_x.transpose(1, 2, 3, 0),
+            gradient_y.transpose(1, 2, 3, 0), mask.transpose(1, 2, 0),
+            mask.transpose(1, 2, 0), video_flow_f.transpose(1, 2, 3, 0),
+            video_flow_b.transpose(1, 2, 3, 0))
+        return (gx_r.transpose(3, 0, 1, 2), gy_r.transpose(3, 0, 1, 2),
+                tofill_r.transpose(2, 0, 1))
+
+    mask_n = np.ascontiguousarray(mask, np.uint8)
+    vf = np.ascontiguousarray(video_flow_f, np.float32)
+    vb = np.ascontiguousarray(video_flow_b, np.float32)
+    passes = []
+    for follow, check, fwd in ((vb, vf, True), (vf, vb, False)):
+        have, nx, ny, nt, cu, cv_ = native.flownn_pass(
+            mask_n, follow, check, fwd, cfg.consistency_thres)
+        passes.append((have.astype(bool), nx, ny, nt,
+                       np.sqrt(cu * cu + cv_ * cv_)))
+    (have_bn, bx, by, bt, cons_bn), (have_fn, fx, fy, ft, cons_fn) = passes
+
+    # one chain walk per direction, gx|gy stacked on channels
+    g_both = np.ascontiguousarray(
+        np.concatenate([gradient_x, gradient_y], axis=3), np.float32)
+    C = gradient_x.shape[3]
+    s_bn = native.flownn_sample(g_both, have_bn, bx, by, bt, True)
+    s_fn = native.flownn_sample(g_both, have_fn, fx, fy, ft, False)
+
+    gradient_x = gradient_x.copy()
+    gradient_y = gradient_y.copy()
+    N, H, W = mask_n.shape
+    mask_tofill = np.zeros((N, H, W), bool)
+
+    ts, ys, xs = np.nonzero(mask_n)
+    have = np.stack([have_bn[ts, ys, xs], have_fn[ts, ys, xs]], -1)
+    cons = np.stack([cons_bn[ts, ys, xs], cons_fn[ts, ys, xs]], -1)
+    w = np.exp(-cons / cfg.alpha) * have
+    wsum = w.sum(-1, keepdims=True)
+    fallback = have / np.maximum(have.sum(-1, keepdims=True), 1)
+    weights = np.where(wsum > 0, w / np.maximum(wsum, 1e-30), fallback)
+    any_nn = have.any(-1)
+    for grad, c_bn, c_fn in ((gradient_x, s_bn[..., :C], s_fn[..., :C]),
+                             (gradient_y, s_bn[..., C:], s_fn[..., C:])):
+        fused = (c_bn[ts, ys, xs] * weights[:, :1]
+                 + c_fn[ts, ys, xs] * weights[:, 1:])
+        grad[ts, ys, xs] = np.where(any_nn[:, None], fused,
+                                    grad[ts, ys, xs])
+    mask_tofill[ts, ys, xs] = ~any_nn
+    return gradient_x, gradient_y, mask_tofill
+
+
 _KEY_FRAMES = lambda N: (0, N // 2, N - 1)  # noqa: E731
 
 

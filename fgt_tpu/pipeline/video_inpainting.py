@@ -43,7 +43,8 @@ from fgt_tpu.models import raft as raft_mod
 from fgt_tpu.models.registry import build_model
 from fgt_tpu.pipeline.poisson import poisson_blend
 from fgt_tpu.pipeline.propagation import (PropagationConfig,
-                                          get_flownn_gradient)
+                                          get_flownn_gradient,
+                                          get_flownn_gradient_frames)
 from fgt_tpu.utils import checkpoint as ckpt_utils
 from fgt_tpu.utils.config import apply_yaml_over_args
 from fgt_tpu.utils.costs import LEDGER, costed
@@ -1571,34 +1572,39 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
         logger.info("nonlocal key-frame flows done")
 
     with timer.stage("s4_flownn"):
-        # propagation uses [H, W, ..., N] layouts
         pcfg = PropagationConfig(consistency_thres=args.consistencyThres,
                                  alpha=args.alpha)
-        gx_t = gx.transpose(1, 2, 3, 0)
-        gy_t = gy.transpose(1, 2, 3, 0)
-        m_t = mask.transpose(1, 2, 0)
-        md_t = mask_dilated.transpose(1, 2, 0)
-        ff_t = videoFlowF.transpose(1, 2, 3, 0)
-        fb_t = videoFlowB.transpose(1, 2, 3, 0)
-        gx_t, gy_t, mask_tofill = get_flownn_gradient(
-            pcfg, gx_t, gy_t, m_t, md_t, ff_t, fb_t,
-            nonlocal_flow_f=nl_f_t, nonlocal_flow_b=nl_b_t)
+        if nl_f_t is None:
+            # frame-first fast path: the pipeline's natural [N, ...]
+            # layouts are the native kernels' layouts — no transpose copies
+            gx_p, gy_p, mask_tofill = get_flownn_gradient_frames(
+                pcfg, gx, gy, mask, videoFlowF, videoFlowB)
+        else:
+            # --Nonlocal runs in the reference's [H, W, ..., N] layout
+            gx_r, gy_r, tofill_r = get_flownn_gradient(
+                pcfg, gx.transpose(1, 2, 3, 0), gy.transpose(1, 2, 3, 0),
+                mask.transpose(1, 2, 0), mask_dilated.transpose(1, 2, 0),
+                videoFlowF.transpose(1, 2, 3, 0),
+                videoFlowB.transpose(1, 2, 3, 0),
+                nonlocal_flow_f=nl_f_t, nonlocal_flow_b=nl_b_t)
+            gx_p = gx_r.transpose(3, 0, 1, 2)
+            gy_p = gy_r.transpose(3, 0, 1, 2)
+            mask_tofill = tofill_r.transpose(2, 0, 1)
     logger.info("gradient propagation done; %d px unfilled",
                 int(mask_tofill.sum()))
 
     with timer.stage("s5_poisson"):
-        for i in range(n_frames):
-            mask_tofill[:, :, i] = scipy.ndimage.binary_fill_holes(
-                mask_tofill[:, :, i])
+        mask_tofill = np.stack([scipy.ndimage.binary_fill_holes(m)
+                                for m in mask_tofill])
         frame_blends = []
         mask_cur = mask.copy()
         for i in range(n_frames):
             if mask_cur[i].sum() > 0:
                 try:
                     blend, unfilled = poisson_blend(
-                        video[i], gx_t[:, : img_w - 1, :, i],
-                        gy_t[: img_h - 1, :, :, i], mask_cur[i],
-                        mask_tofill[:, :, i])
+                        video[i], gx_p[i][:, : img_w - 1],
+                        gy_p[i][: img_h - 1], mask_cur[i],
+                        mask_tofill[i])
                 except Exception:  # reference falls back on any failure
                     blend, unfilled = video[i], mask_cur[i]
                 blend = np.clip(blend, 0, 1.0)

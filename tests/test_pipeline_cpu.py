@@ -146,6 +146,37 @@ def test_flownn_native_matches_numpy(monkeypatch):
     np.testing.assert_allclose(out_nat[1], out_np[1], atol=1e-3)
 
 
+def test_flownn_frames_layout_matches_reference_layout():
+    """get_flownn_gradient_frames (pipeline-natural [N, ...] layouts, no
+    transpose copies) must equal the reference-layout entry point."""
+    from fgt_tpu.pipeline.propagation import get_flownn_gradient_frames
+
+    rng = np.random.RandomState(5)
+    H, W, N = 40, 56, 6
+    mask = np.zeros((H, W, N), bool)
+    mask[10:28, 18:40, :] = True
+    flow_f = (rng.randn(H, W, 2, N - 1) * 2.0).astype(np.float32)
+    flow_b = (-flow_f + rng.randn(H, W, 2, N - 1).astype(np.float32) * 0.3)
+    gx = rng.randn(H, W, 3, N).astype(np.float32)
+    gy = rng.randn(H, W, 3, N).astype(np.float32)
+    cfg = PropagationConfig()
+
+    ref = get_flownn_gradient(cfg, gx, gy, mask, mask.copy(),
+                              flow_f, flow_b)
+    got = get_flownn_gradient_frames(
+        cfg, np.ascontiguousarray(gx.transpose(3, 0, 1, 2)),
+        np.ascontiguousarray(gy.transpose(3, 0, 1, 2)),
+        np.ascontiguousarray(mask.transpose(2, 0, 1)),
+        np.ascontiguousarray(flow_f.transpose(3, 0, 1, 2)),
+        np.ascontiguousarray(flow_b.transpose(3, 0, 1, 2)))
+
+    np.testing.assert_array_equal(got[2].transpose(1, 2, 0), ref[2])
+    np.testing.assert_allclose(got[0].transpose(1, 2, 3, 0), ref[0],
+                               atol=1e-5)
+    np.testing.assert_allclose(got[1].transpose(1, 2, 3, 0), ref[1],
+                               atol=1e-5)
+
+
 def test_flownn_sparse_fusion_matches_dense_oracle():
     """The hole-pixel-vectorized candidate fusion must equal the dense
     per-frame formulation it replaced (weights, fallback and masking
