@@ -71,6 +71,110 @@ def _unfilled_mask(hole: np.ndarray, grad_mask: np.ndarray) -> np.ndarray:
     return tl & br
 
 
+class _PoissonPlan:
+    """Everything determined by (hole, gm) alone: the equation system's
+    sparsity+values (all ±1), its factorization, and the gather indices
+    needed to rebuild the RHS per frame. Static-mask workloads (watermark
+    removal, extrapolation borders) reuse one plan for every frame."""
+
+    def __init__(self, hole: np.ndarray, gm: np.ndarray):
+        H, W = hole.shape
+        self.hole, self.gm = hole, gm
+        py, px = np.nonzero(hole)
+        self.py, self.px = py, px
+        npix = py.size
+        self.npix = npix
+        col_of = np.full((H, W), -1, np.int64)
+        col_of[py, px] = np.arange(npix)
+
+        rows, cols, vals = [], [], []
+        rhs_plan = []   # (kind, vy, vx, qy, qx) per equation block, ordered
+        eq = 0
+        #      3 (N)
+        # 2(W) * 0(E)
+        #      1 (S)
+        # (dy, dx, gradient source id, gradient-valid test position)
+        # source ids: 0 = -gx[y, x], 1 = -gy[y, x], 2 = gx[y, x-1],
+        # 3 = gy[y-1, x]
+        dirs = (
+            (0, 1, 0, lambda y, x: ~gm[y, x]),          # E
+            (1, 0, 1, lambda y, x: ~gm[y, x]),          # S
+            (0, -1, 2, lambda y, x: ~gm[y, x - 1]),     # W
+            (-1, 0, 3, lambda y, x: ~gm[y - 1, x]),     # N
+        )
+        for dy, dx, gsrc, gok in dirs:
+            qy, qx = py + dy, px + dx
+            valid = (qy >= 0) & (qy < H) & (qx >= 0) & (qx < W)
+            vy, vx = py[valid], px[valid]
+            qy, qx = qy[valid], qx[valid]
+            havegrad = gok(vy, vx)
+            q_known = ~hole[qy, qx]
+            # boundary equations: x_p = grad + I[q]
+            selb = havegrad & q_known
+            n = int(selb.sum())
+            rows.append(np.arange(eq, eq + n))
+            cols.append(col_of[vy[selb], vx[selb]])
+            vals.append(np.ones(n))
+            rhs_plan.append(("b", gsrc, vy[selb], vx[selb],
+                             qy[selb], qx[selb]))
+            eq += n
+            # interior equations: x_p - x_q = grad
+            seli = havegrad & ~q_known
+            n = int(seli.sum())
+            rows.append(np.arange(eq, eq + n))
+            cols.append(col_of[vy[seli], vx[seli]])
+            vals.append(np.ones(n))
+            rows.append(np.arange(eq, eq + n))
+            cols.append(col_of[qy[seli], qx[seli]])
+            vals.append(-np.ones(n))
+            rhs_plan.append(("i", gsrc, vy[seli], vx[seli], None, None))
+            eq += n
+
+        self.rhs_plan = rhs_plan
+        self.A = sparse.csr_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(eq, npix))
+        # least squares via the normal equations: one SPD factorization
+        # shared by all channels (~4x over per-channel LSQR at typical
+        # hole sizes). The 1e-8 ridge keeps equation-less pixels at the
+        # minimum-norm 0 that LSQR would return and makes the system
+        # nonsingular.
+        try:
+            self.lu = splu((self.A.T @ self.A
+                            + 1e-8 * sparse.eye(npix)).tocsc())
+        except Exception:   # fall back to per-channel LSQR in solve()
+            self.lu = None
+        self.unfilled = _unfilled_mask(hole, gm)
+
+    def rhs(self, img_target, gx, gy):
+        srcs = (lambda y, x: -gx[y, x], lambda y, x: -gy[y, x],
+                lambda y, x: gx[y, x - 1], lambda y, x: gy[y - 1, x])
+        parts = []
+        for kind, gsrc, vy, vx, qy, qx in self.rhs_plan:
+            b_dir = srcs[gsrc](vy, vx)
+            parts.append(b_dir + img_target[qy, qx] if kind == "b"
+                         else b_dir)
+        return np.concatenate(parts, axis=0)
+
+
+# tiny LRU keyed by the (hole, gm) bytes — one entry suffices for
+# static-mask videos, a few tolerate alternating patterns
+_PLAN_CACHE: "dict[bytes, _PoissonPlan]" = {}
+_PLAN_CACHE_MAX = 4
+
+
+def _get_plan(hole: np.ndarray, gm: np.ndarray) -> _PoissonPlan:
+    key = hole.tobytes() + gm.tobytes()
+    plan = _PLAN_CACHE.pop(key, None)
+    if plan is None:
+        plan = _PoissonPlan(hole, gm)
+        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[key] = plan
+    return plan
+
+
 def poisson_blend(img_target: np.ndarray, grad_x: np.ndarray,
                   grad_y: np.ndarray, hole_mask: np.ndarray,
                   gradient_mask: np.ndarray | None = None):
@@ -85,80 +189,25 @@ def poisson_blend(img_target: np.ndarray, grad_x: np.ndarray,
     gm = (np.zeros((H, W), np.float32) if gradient_mask is None
           else gradient_mask).astype(bool)
 
+    if not hole.any():
+        return img_target.astype(np.float64), np.zeros((H, W), bool)
+
     # pad gradients back to [H, W] grids for uniform indexing
     gx = np.zeros((H, W, C), np.float64)
     gy = np.zeros((H, W, C), np.float64)
     gx[:, :grad_x.shape[1]] = grad_x
     gy[:grad_y.shape[0], :] = grad_y
 
-    py, px = np.nonzero(hole)
-    npix = py.size
-    if npix == 0:
-        return img_target.astype(np.float64), np.zeros((H, W), bool)
-    col_of = np.full((H, W), -1, np.int64)
-    col_of[py, px] = np.arange(npix)
+    plan = _get_plan(hole, gm)
+    b = plan.rhs(img_target, gx, gy)  # [eq, 3]
 
-    rows, cols, vals, rhs = [], [], [], []
-    eq = 0
-
-    #      3 (N)
-    # 2(W) * 0(E)
-    #      1 (S)
-    # (dy, dx, signed gradient source, gradient-valid test position)
-    dirs = (
-        (0, 1, lambda y, x: -gx[y, x], lambda y, x: ~gm[y, x]),        # E
-        (1, 0, lambda y, x: -gy[y, x], lambda y, x: ~gm[y, x]),        # S
-        (0, -1, lambda y, x: gx[y, x - 1], lambda y, x: ~gm[y, x - 1]),  # W
-        (-1, 0, lambda y, x: gy[y - 1, x], lambda y, x: ~gm[y - 1, x]),  # N
-    )
-    for dy, dx, gfun, gok in dirs:
-        qy, qx = py + dy, px + dx
-        valid = (qy >= 0) & (qy < H) & (qx >= 0) & (qx < W)
-        vy, vx = py[valid], px[valid]
-        qy, qx = qy[valid], qx[valid]
-        havegrad = gok(vy, vx)
-        b_dir = gfun(vy, vx)  # [n, 3]
-
-        q_known = ~hole[qy, qx]
-        # boundary equations: x_p = grad + I[q]
-        selb = havegrad & q_known
-        n = int(selb.sum())
-        rows.append(np.arange(eq, eq + n))
-        cols.append(col_of[vy[selb], vx[selb]])
-        vals.append(np.ones(n))
-        rhs.append(b_dir[selb] + img_target[qy[selb], qx[selb]])
-        eq += n
-        # interior equations: x_p - x_q = grad
-        seli = havegrad & ~q_known
-        n = int(seli.sum())
-        rows.append(np.arange(eq, eq + n))
-        cols.append(col_of[vy[seli], vx[seli]])
-        vals.append(np.ones(n))
-        rows.append(np.arange(eq, eq + n))
-        cols.append(col_of[qy[seli], qx[seli]])
-        vals.append(-np.ones(n))
-        rhs.append(b_dir[seli])
-        eq += n
-
-    A = sparse.csr_matrix(
-        (np.concatenate(vals),
-         (np.concatenate(rows), np.concatenate(cols))),
-        shape=(eq, npix))
-    b = np.concatenate(rhs, axis=0)  # [eq, 3]
-
-    # least squares via the normal equations: one SPD factorization shared
-    # by all channels (~4x over per-channel LSQR at typical hole sizes).
-    # The 1e-8 ridge keeps equation-less pixels at the minimum-norm 0 that
-    # LSQR would return and makes the system nonsingular.
-    try:
-        lu = splu((A.T @ A + 1e-8 * sparse.eye(npix)).tocsc())
-        recon = lu.solve(A.T @ b)
-    except Exception:
-        recon = np.zeros((npix, C))
+    if plan.lu is not None:
+        recon = plan.lu.solve(plan.A.T @ b)
+    else:
+        recon = np.zeros((plan.npix, C))
         for ch in range(C):
-            recon[:, ch] = lsqr(A, b[:, ch])[0]
+            recon[:, ch] = lsqr(plan.A, b[:, ch])[0]
 
     out = img_target.astype(np.float64).copy()
-    out[py, px] = recon
-    unfilled = _unfilled_mask(hole, gm)
-    return out, unfilled
+    out[plan.py, plan.px] = recon
+    return out, plan.unfilled.copy()
