@@ -106,6 +106,10 @@ def warm_pallas_cache():
 
 
 def main():
+
+    from fgt_tpu.utils.relay import honor_cpu_request
+
+    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
     # a dead tunnel would hang backend init for many minutes; wait for the
     # relay (it flaps) and emit a diagnosable JSON record if it stays down
     from fgt_tpu.utils.relay import on_axon, wait_for_relay

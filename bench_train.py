@@ -252,6 +252,10 @@ def run_fgt(args, timer, results):
 
 
 def main():
+
+    from fgt_tpu.utils.relay import honor_cpu_request
+
+    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["both", "lafc", "fgt"],
                     default="both")

@@ -75,6 +75,10 @@ def run_batch(args) -> list[dict]:
 
 
 def main(argv=None):
+
+    from fgt_tpu.utils.relay import honor_cpu_request
+
+    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
     p = build_parser()
     p.add_argument("--videos_root", required=True,
                    help="directory of per-video frame subdirectories")

@@ -50,6 +50,10 @@ def extract_video(raft_fn, raft_vars, frames: np.ndarray, out_dir: str,
 
 
 def main(argv=None):
+
+    from fgt_tpu.utils.relay import honor_cpu_request
+
+    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
     p = argparse.ArgumentParser()
     p.add_argument("--datapath", required=True, help="root of video dirs")
     p.add_argument("--outroot", required=True)

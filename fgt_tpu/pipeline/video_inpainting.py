@@ -1798,6 +1798,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+
+    from fgt_tpu.utils.relay import honor_cpu_request
+
+    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
     args = build_parser().parse_args(argv)
     args = apply_yaml_over_args(args, args.opt)
     assert args.mode in ("object_removal", "video_extrapolation",

@@ -133,6 +133,10 @@ def build_opt(args: argparse.Namespace) -> dict:
 
 
 def main(argv=None):
+
+    from fgt_tpu.utils.relay import honor_cpu_request
+
+    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
     from fgt_tpu.utils.hostmem import retain_heap
 
     retain_heap()   # slow-first-touch host: fault the heap once

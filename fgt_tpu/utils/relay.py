@@ -32,6 +32,26 @@ def relay_up(timeout: float = 3.0) -> bool:
         return False
 
 
+def honor_cpu_request() -> bool:
+    """Re-assert an explicit CPU request against the axon sitecustomize.
+
+    The sitecustomize force-selects the axon platform through jax.config
+    at interpreter start, which overrides the ``JAX_PLATFORMS`` env var —
+    so ``JAX_PLATFORMS=cpu python <tool>`` would still dial the tunnel
+    (and hang in PJRT retries when the relay is down). CLI entry points
+    call this early; returns True when cpu was forced. The test suite's
+    conftest does the equivalent for pytest runs."""
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+        return False
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - jax absent/odd build
+        return False
+    return True
+
+
 def wait_for_relay(max_wait: float = 1800.0, poll: float = 15.0) -> bool:
     """Poll until the relay answers or ``max_wait`` elapses. Returns its
     final state. Progress goes to stderr so driver logs show the stall

@@ -47,6 +47,10 @@ def synth_scene(root: str, n: int = 12, h: int = 240, w: int = 432):
 
 
 def main(argv=None):
+
+    from fgt_tpu.utils.relay import honor_cpu_request
+
+    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--path", default=None, help="frames dir (omit for a "
                     "generated synthetic demo scene)")

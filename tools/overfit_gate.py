@@ -191,6 +191,10 @@ def train_fgt(steps: int, frames_dir: str, h: int, w: int,
 
 
 def main():
+
+    from fgt_tpu.utils.relay import honor_cpu_request
+
+    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--lafc_steps", type=int, default=150)
     ap.add_argument("--fgt_steps", type=int, default=100)
