@@ -31,7 +31,9 @@ def args_parser(argv=None) -> argparse.Namespace:
     p.add_argument("--name", type=str, default="FGT_train")
     p.add_argument("--outputdir", type=str, default="outputs")
     p.add_argument("--datadir", type=str, default="")
-    p.add_argument("--datasetName_train", type=str, default="train_dataset")
+    # default None: each trainer picks its own dataset class unless the
+    # CLI/YAML overrides (reference keeps per-tree defaults)
+    p.add_argument("--datasetName_train", type=str, default=None)
     p.add_argument("--finetune", type=int, default=0)
     p.add_argument("--gen_state", type=str, default="")
     p.add_argument("--dis_state", type=str, default="")

@@ -150,8 +150,11 @@ class Trainer:
         # global batch = batch_size per device * local devices
         per_device = int(dcfg.get("batch_size", 1))
         self.global_batch = per_device * self.local_dp
-        self.train_set = create_dataset(dcfg, data_info, "train",
-                                        self._dataset_name())
+        # reference selects the dataset class dynamically from
+        # datasetName_train (FGT/data/__init__.py:35-49); the subclass
+        # default is the fallback
+        ds_name = str(opt.get("datasetName_train") or self._dataset_name())
+        self.train_set = create_dataset(dcfg, data_info, "train", ds_name)
         self.sampler = ShardedSampler(len(self.train_set), shard=self.rank,
                                       num_shards=max(self.world_size, 1),
                                       shuffle=True,
@@ -181,6 +184,13 @@ class Trainer:
             self.opt.get("SAVE_CHECKPOINT_FREQ", 5000)))
         val_freq = int(self.opt.get("train", {}).get("val_freq", 1))
         use_valid = bool(self.opt.get("use_valid", False))
+        # running-mean window over LOGGED samples, reset every record_iter
+        # samples — the reference's _printLog accumulator semantics
+        # (FGT/networks/network.py:184-206). Metrics stay device-side
+        # between logs; no extra per-step host sync.
+        record_iter = max(1, int(self.opt.get("record_iter", 16)))
+        run_sum: dict = {}
+        run_n = 0
 
         for epoch in range(self.start_epoch, self.total_epochs + 1):
             self.sampler.set_epoch(epoch)
@@ -195,10 +205,16 @@ class Trainer:
                     scalars["it_per_s"] = log_freq / max(time.time() - t0,
                                                          1e-9)
                     t0 = time.time()
-                    self.metrics.write(self.current_step, scalars)
+                    if run_n >= record_iter:
+                        run_sum, run_n = {}, 0
+                    run_n += 1
+                    for k, v in scalars.items():
+                        run_sum[k] = run_sum.get(k, 0.0) + v
+                    means = {k: v / run_n for k, v in run_sum.items()}
+                    self.metrics.write(self.current_step, means)
                     self.logger.info(
                         "[epoch %d step %d] %s", epoch, self.current_step,
-                        " ".join(f"{k}:{v:.4f}" for k, v in scalars.items()))
+                        " ".join(f"{k}:{v:.4f}" for k, v in means.items()))
                 if self.rank <= 0 and self.current_step % save_freq == 0:
                     self.save_checkpoint(epoch)
             if self.current_step >= self.total_iterations:
