@@ -76,9 +76,9 @@ def run_batch(args) -> list[dict]:
 
 def main(argv=None):
 
-    from fgt_tpu.utils.relay import honor_cpu_request
+    from fgt_tpu.utils.relay import cli_relay_guard
 
-    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
+    cli_relay_guard()   # honor cpu requests; fail fast on a dead tunnel
     p = build_parser()
     p.add_argument("--videos_root", required=True,
                    help="directory of per-video frame subdirectories")

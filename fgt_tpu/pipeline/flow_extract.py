@@ -51,9 +51,9 @@ def extract_video(raft_fn, raft_vars, frames: np.ndarray, out_dir: str,
 
 def main(argv=None):
 
-    from fgt_tpu.utils.relay import honor_cpu_request
+    from fgt_tpu.utils.relay import cli_relay_guard
 
-    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
+    cli_relay_guard()   # honor cpu requests; fail fast on a dead tunnel
     p = argparse.ArgumentParser()
     p.add_argument("--datapath", required=True, help="root of video dirs")
     p.add_argument("--outroot", required=True)

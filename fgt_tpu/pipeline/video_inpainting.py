@@ -1799,9 +1799,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
 
-    from fgt_tpu.utils.relay import honor_cpu_request
+    from fgt_tpu.utils.relay import cli_relay_guard
 
-    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
+    cli_relay_guard()   # honor cpu requests; fail fast on a dead tunnel
     args = build_parser().parse_args(argv)
     args = apply_yaml_over_args(args, args.opt)
     assert args.mode in ("object_removal", "video_extrapolation",

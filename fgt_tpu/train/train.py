@@ -136,9 +136,9 @@ def build_opt(args: argparse.Namespace) -> dict:
 
 def main(argv=None):
 
-    from fgt_tpu.utils.relay import honor_cpu_request
+    from fgt_tpu.utils.relay import cli_relay_guard
 
-    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
+    cli_relay_guard()   # honor cpu requests; fail fast on a dead tunnel
     from fgt_tpu.utils.hostmem import retain_heap
 
     retain_heap()   # slow-first-touch host: fault the heap once

@@ -52,6 +52,25 @@ def honor_cpu_request() -> bool:
     return True
 
 
+def cli_relay_guard():
+    """Standard preamble for interactive CLI entry points.
+
+    1. Re-assert an explicit ``JAX_PLATFORMS=cpu`` request (the axon
+       sitecustomize overrides the env var — see honor_cpu_request).
+    2. On the tunnel, fail fast with a clear message when the relay is
+       dead instead of hanging silently in PJRT backend-init retries.
+       ``FGT_RELAY_WAIT`` (default 120 s for CLIs; bench harnesses pass
+       1800 s themselves) bounds how long to wait for a flap to clear."""
+    if honor_cpu_request() or not on_axon():
+        return
+    if not wait_for_relay(float(os.environ.get("FGT_RELAY_WAIT", "120"))):
+        raise SystemExit(
+            "fgt_tpu: the TPU relay (127.0.0.1:8083) is unreachable, so "
+            "the axon backend would hang in PJRT init retries. Retry when "
+            "the tunnel is back, raise FGT_RELAY_WAIT, or run on CPU with "
+            "JAX_PLATFORMS=cpu.")
+
+
 def wait_for_relay(max_wait: float = 1800.0, poll: float = 15.0) -> bool:
     """Poll until the relay answers or ``max_wait`` elapses. Returns its
     final state. Progress goes to stderr so driver logs show the stall

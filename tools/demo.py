@@ -48,9 +48,9 @@ def synth_scene(root: str, n: int = 12, h: int = 240, w: int = 432):
 
 def main(argv=None):
 
-    from fgt_tpu.utils.relay import honor_cpu_request
+    from fgt_tpu.utils.relay import cli_relay_guard
 
-    honor_cpu_request()   # JAX_PLATFORMS=cpu beats the axon sitecustomize
+    cli_relay_guard()   # honor cpu requests; fail fast on a dead tunnel
     ap = argparse.ArgumentParser()
     ap.add_argument("--path", default=None, help="frames dir (omit for a "
                     "generated synthetic demo scene)")
