@@ -177,12 +177,16 @@ static void mg_smooth(const MGLevel& g, std::vector<double>& x,
   }
 }
 
+// Writes r only at hole pixels. Non-hole entries of r are never written
+// anywhere, so as long as r starts out zeroed (plan construction), they
+// stay zero — and the 2x2 restriction below only reads fine-hole
+// positions anyway (a coarse hole requires its whole fine block to be
+// hole), so no per-call full-plane clear of r is needed.
 static double mg_residual(const MGLevel& g, const std::vector<double>& x,
                           const std::vector<double>& b,
                           std::vector<double>& r) {
   const int W = g.W;
   double rmax = 0.0;
-  std::fill(r.begin(), r.end(), 0.0);
   for (size_t h = 0; h < g.holes.size(); ++h) {
     const int p = g.holes[h];
     const int y = p / W, x_ = p % W;
@@ -213,8 +217,9 @@ static void mg_vcycle(const std::vector<MGLevel>& levels, size_t l,
 
   const MGLevel& c = levels[l + 1];
   // restriction: SUM the 2x2 fine residuals (4x the average — the
-  // correct inter-grid scaling for the h-free 5-point operator)
-  std::fill(bs[l + 1].begin(), bs[l + 1].end(), 0.0);
+  // correct inter-grid scaling for the h-free 5-point operator).
+  // bs[l+1] is written at every coarse hole and only ever read at
+  // coarse holes, so no clear is needed.
   for (size_t h = 0; h < c.holes.size(); ++h) {
     const int pc = c.holes[h];
     const int yc = pc / c.W, xc = pc % c.W;
@@ -227,7 +232,10 @@ static void mg_vcycle(const std::vector<MGLevel>& levels, size_t l,
       }
     bs[l + 1][pc] = sum;
   }
-  std::fill(xs[l + 1].begin(), xs[l + 1].end(), 0.0);
+  // the error correction starts at 0 on the coarse holes; non-hole
+  // entries (read by the bilinear prolongation taps) are never written,
+  // so they stay zero from plan construction — clear holes only
+  for (size_t h = 0; h < c.holes.size(); ++h) xs[l + 1][c.holes[h]] = 0.0;
   mg_vcycle(levels, l + 1, xs, bs, rs);
 
   // prolongation: bilinear error interpolation added into the fine hole
@@ -253,6 +261,82 @@ static void mg_vcycle(const std::vector<MGLevel>& levels, size_t l,
   mg_smooth(g, xs[l], bs[l], 2);
 }
 
+// Reusable multigrid plan. Building the level hierarchy and zeroing the
+// per-level work buffers is O(plane) and dominates small-hole solves on
+// slow-first-touch hosts; a plan amortizes it across the two flow
+// channels of a frame (identical mask) and across frames with identical
+// masks (static watermark / outpainting-border holes).
+struct FMGPlan {
+  int H = 0, W = 0;
+  std::vector<MGLevel> levels;
+  std::vector<std::vector<double>> xs, bs, rs;
+  std::vector<uint8_t> built_mask;  // the mask this plan was built for
+
+  bool matches(const uint8_t* mask, int h, int w) const {
+    return h == H && w == W && !built_mask.empty() &&
+           std::memcmp(built_mask.data(), mask,
+                       static_cast<size_t>(h) * w) == 0;
+  }
+
+  void build(const uint8_t* mask, int h, int w) {
+    H = h;
+    W = w;
+    built_mask.assign(mask, mask + static_cast<size_t>(h) * w);
+    levels.clear();
+    levels.push_back(make_level(mask, H, W));
+    while (levels.back().holes.size() > 512 && levels.back().H >= 32 &&
+           levels.back().W >= 32)
+      levels.push_back(coarsen(levels.back()));
+    xs.clear();
+    bs.clear();
+    rs.clear();
+    for (const MGLevel& g : levels) {
+      const size_t n = static_cast<size_t>(g.H) * g.W;
+      xs.emplace_back(n, 0.0);
+      bs.emplace_back(n, 0.0);
+      rs.emplace_back(n, 0.0);
+    }
+  }
+
+  // Solve in-place on img (full plane, holes overwritten). The work
+  // buffers only ever carry non-zero values at hole positions, and every
+  // hole position read is written first within a solve, so no clearing
+  // between solves is needed beyond the xs[0] start-at-zero contract.
+  int solve(double* img, double tol, int max_cycles = 50) {
+    const MGLevel& fine = levels[0];
+    // fine-level rhs: Dirichlet contributions from known neighbors;
+    // unknowns start at 0 (same contract as sor_relax)
+    double bscale = 1e-12;
+    for (size_t h = 0; h < fine.holes.size(); ++h) {
+      const int p = fine.holes[h];
+      const int y = p / W, x = p % W;
+      double b = 0.0;
+      if (y > 0 && !fine.mask[p - W]) b += img[p - W];
+      if (y < H - 1 && !fine.mask[p + W]) b += img[p + W];
+      if (x > 0 && !fine.mask[p - 1]) b += img[p - 1];
+      if (x < W - 1 && !fine.mask[p + 1]) b += img[p + 1];
+      bs[0][p] = b;
+      xs[0][p] = 0.0;
+      const double a = std::fabs(b);
+      if (a > bscale) bscale = a;
+    }
+
+    // V-cycles to a residual tolerance relative to the boundary-data
+    // scale (each cycle contracts the residual ~10x)
+    int cycles = 0;
+    for (; cycles < max_cycles; ++cycles) {
+      mg_vcycle(levels, 0, xs, bs, rs);
+      const double rmax = mg_residual(levels[0], xs[0], bs[0], rs[0]);
+      if (rmax < tol * bscale) break;
+    }
+    for (size_t h = 0; h < fine.holes.size(); ++h) {
+      const int p = fine.holes[h];
+      img[p] = xs[0][p];
+    }
+    return cycles + 1;
+  }
+};
+
 static int laplace_fmg(double* img, const uint8_t* mask, int H, int W,
                        double tol, int max_iter) {
   const size_t plane = static_cast<size_t>(H) * W;
@@ -262,50 +346,9 @@ static int laplace_fmg(double* img, const uint8_t* mask, int H, int W,
   if (nhole < 2048 || H < 32 || W < 32)
     return sor_relax(img, mask, H, W, tol, max_iter, /*warm=*/false);
 
-  std::vector<MGLevel> levels;
-  levels.push_back(make_level(mask, H, W));
-  while (levels.back().holes.size() > 512 && levels.back().H >= 32 &&
-         levels.back().W >= 32)
-    levels.push_back(coarsen(levels.back()));
-
-  std::vector<std::vector<double>> xs, bs, rs;
-  for (const MGLevel& g : levels) {
-    const size_t n = static_cast<size_t>(g.H) * g.W;
-    xs.emplace_back(n, 0.0);
-    bs.emplace_back(n, 0.0);
-    rs.emplace_back(n, 0.0);
-  }
-
-  // fine-level rhs: Dirichlet contributions from known neighbors;
-  // unknowns start at 0 (same contract as sor_relax)
-  double bscale = 1e-12;
-  for (size_t h = 0; h < levels[0].holes.size(); ++h) {
-    const int p = levels[0].holes[h];
-    const int y = p / W, x = p % W;
-    double b = 0.0;
-    if (y > 0 && !mask[p - W]) b += img[p - W];
-    if (y < H - 1 && !mask[p + W]) b += img[p + W];
-    if (x > 0 && !mask[p - 1]) b += img[p - 1];
-    if (x < W - 1 && !mask[p + 1]) b += img[p + 1];
-    bs[0][p] = b;
-    const double a = std::fabs(b);
-    if (a > bscale) bscale = a;
-  }
-
-  // V-cycles to a residual tolerance relative to the boundary-data
-  // scale (each cycle contracts the residual ~10x)
-  const int max_cycles = 50;
-  int cycles = 0;
-  for (; cycles < max_cycles; ++cycles) {
-    mg_vcycle(levels, 0, xs, bs, rs);
-    const double rmax = mg_residual(levels[0], xs[0], bs[0], rs[0]);
-    if (rmax < tol * bscale) break;
-  }
-  for (size_t h = 0; h < levels[0].holes.size(); ++h) {
-    const int p = levels[0].holes[h];
-    img[p] = xs[0][p];
-  }
-  return cycles + 1;
+  FMGPlan plan;
+  plan.build(mask, H, W);
+  return plan.solve(img, tol);
 }
 
 extern "C" {
@@ -324,24 +367,46 @@ int laplace_fill_fmg(double* img, const uint8_t* mask, int H, int W,
 
 // Batched diffusion: for every (frame, channel) of flows [N, H, W, C],
 // zero the hole, then laplace_fill. masks: [N, H, W] uint8. Parallel
-// across frames x channels.
+// across frames; the channels of a frame share one multigrid plan
+// (identical mask), and each thread keeps its plan across frames so
+// static-mask workloads (watermark, outpainting border) build the
+// hierarchy once instead of N x C times.
 void diffuse_flows(const float* flows, const uint8_t* masks, float* out,
                    int N, int H, int W, int C, double tol, int max_iter) {
   const size_t plane = static_cast<size_t>(H) * W;
 #ifdef _OPENMP
-#pragma omp parallel for collapse(2) schedule(dynamic)
+#pragma omp parallel
 #endif
-  for (int i = 0; i < N; ++i) {
-    for (int c = 0; c < C; ++c) {
-      std::vector<double> img(plane);
-      const float* src = flows + (static_cast<size_t>(i) * plane) * C + c;
+  {
+    FMGPlan plan;
+    std::vector<double> img(plane);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int i = 0; i < N; ++i) {
       const uint8_t* m = masks + static_cast<size_t>(i) * plane;
-      for (size_t p = 0; p < plane; ++p)
-        img[p] = m[p] ? 0.0 : static_cast<double>(src[p * C]);
-      laplace_fmg(img.data(), m, H, W, tol, max_iter);
-      float* dst = out + (static_cast<size_t>(i) * plane) * C + c;
-      for (size_t p = 0; p < plane; ++p)
-        dst[p * C] = static_cast<float>(img[p]);
+      size_t nhole = 0;
+      for (size_t p = 0; p < plane; ++p) nhole += m[p] ? 1 : 0;
+      if (nhole == 0) {
+        const float* src = flows + (static_cast<size_t>(i) * plane) * C;
+        float* dst = out + (static_cast<size_t>(i) * plane) * C;
+        std::memcpy(dst, src, plane * C * sizeof(float));
+        continue;
+      }
+      const bool use_mg = nhole >= 2048 && H >= 32 && W >= 32;
+      if (use_mg && !plan.matches(m, H, W)) plan.build(m, H, W);
+      for (int c = 0; c < C; ++c) {
+        const float* src = flows + (static_cast<size_t>(i) * plane) * C + c;
+        for (size_t p = 0; p < plane; ++p)
+          img[p] = m[p] ? 0.0 : static_cast<double>(src[p * C]);
+        if (use_mg)
+          plan.solve(img.data(), tol);
+        else
+          sor_relax(img.data(), m, H, W, tol, max_iter, /*warm=*/false);
+        float* dst = out + (static_cast<size_t>(i) * plane) * C + c;
+        for (size_t p = 0; p < plane; ++p)
+          dst[p * C] = static_cast<float>(img[p]);
+      }
     }
   }
 }
