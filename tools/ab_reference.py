@@ -1,0 +1,380 @@
+"""Same-weights end-to-end A/B: torch reference vs fgt_tpu (VERDICT r3 #1).
+
+Per-model forward parity has been proven since round 1
+(tests/test_torch_parity.py, incl. full-scale FGT/LAFC); what was never
+proven is the STAGE GLUE — mask dilation
+(/root/reference/tool/video_inpainting.py:536-568), flow
+max-normalization (:402-407), indicesGen reflection (:90-100), overlap
+50/50 averaging (:734-740) and the Poisson/flowNN handoff (:623-682).
+This tool closes that hole with one controlled experiment:
+
+1. generate ONE random-init torch checkpoint set (seed 0: RAFT + LAFC +
+   FGT, the exact (tar, yaml) layout the reference driver consumes),
+2. run the actual reference driver
+   (/root/reference/tool/video_inpainting.py:419-749) on the synthetic
+   clip with its own debug dumps on (--vis_flows --vis_completed_flows
+   --vis_prop --vis_frame),
+3. convert the SAME weights with fgt_tpu.convert.torch2jax
+   (tools/convert_weights.py),
+4. run the fgt_tpu pipeline with matching flags and matching dumps,
+5. compare, stage by stage:
+
+   | stage | artifact                         | metric           |
+   |-------|----------------------------------|------------------|
+   | s1    | flow/{fwd,bwd}_flo/*.flo         | EPE mean/max     |
+   | s2    | completed_flow/{fwd,bwd}_flo     | EPE mean/max     |
+   | s5    | prop_frames_npy/, masks_left_npy | PSNR / mask IoU  |
+   | s6    | frames/*.png                     | PSNR (+hole-only)|
+
+Writes AB_REFERENCE.json at the repo root (one JSON line on stdout).
+Ours runs twice: --f32 --exact_windows (like-for-like vs torch f32,
+reference per-window shapes) and default bf16 (the production config,
+documents the combined precision + static-window delta).
+
+The ~17 min reference run and the checkpoint set are cached in
+--workdir (default /tmp/fgt_ab) and reused on re-runs; --fresh wipes.
+
+Usage:
+    python tools/ab_reference.py [--frames 24] [--fresh] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import numpy as np  # noqa: E402
+
+
+# ---------------------------------------------------------------- helpers
+
+def _read_flo(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        tag = np.frombuffer(f.read(4), np.float32)[0]
+        assert abs(tag - 202021.25) < 1, (path, tag)
+        w = int(np.frombuffer(f.read(4), np.int32)[0])
+        h = int(np.frombuffer(f.read(4), np.int32)[0])
+        data = np.frombuffer(f.read(h * w * 2 * 4), np.float32)
+    return data.reshape(h, w, 2)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak * peak / mse))
+
+
+def _dir_flows(d: str) -> dict:
+    return {f: os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".flo")}
+
+
+def compare_flow_dirs(ref_dir: str, our_dir: str) -> dict:
+    """EPE stats between two dirs of .flo files (matched by filename)."""
+    ref, ours = _dir_flows(ref_dir), _dir_flows(our_dir)
+    common = sorted(set(ref) & set(ours))
+    assert common, (ref_dir, our_dir)
+    epes, maxes, mags = [], [], []
+    for name in common:
+        a, b = _read_flo(ref[name]), _read_flo(ours[name])
+        assert a.shape == b.shape, (name, a.shape, b.shape)
+        epe = np.sqrt(((a - b) ** 2).sum(-1))
+        epes.append(float(epe.mean()))
+        maxes.append(float(epe.max()))
+        mags.append(float(np.sqrt((a ** 2).sum(-1)).mean()))
+    return {"n": len(common), "n_ref": len(ref), "n_ours": len(ours),
+            "epe_mean": round(float(np.mean(epes)), 5),
+            "epe_max": round(float(np.max(maxes)), 4),
+            "ref_mag_mean": round(float(np.mean(mags)), 4)}
+
+
+def compare_prop(ref_out: str, our_out: str) -> dict:
+    """Stage-I outputs: Poisson-blended frames (PSNR) + leftover masks (IoU)."""
+    rf = os.path.join(ref_out, "prop_frames_npy")
+    of = os.path.join(our_out, "prop_frames_npy")
+    names = sorted(set(os.listdir(rf)) & set(os.listdir(of)))
+    assert names
+    psnrs, ious = [], []
+    for n in names:
+        a = np.load(os.path.join(rf, n))
+        b = np.load(os.path.join(of, n))
+        psnrs.append(_psnr(a, b))
+        ma = np.load(os.path.join(ref_out, "masks_left_npy", n)) > 127
+        mb = np.load(os.path.join(our_out, "masks_left_npy", n)) > 127
+        union = float(np.logical_or(ma, mb).sum())
+        inter = float(np.logical_and(ma, mb).sum())
+        ious.append(inter / union if union else 1.0)
+    return {"n": len(names),
+            "psnr_mean": round(float(np.mean(psnrs)), 2),
+            "psnr_min": round(float(np.min(psnrs)), 2),
+            "mask_iou_mean": round(float(np.mean(ious)), 4),
+            "mask_iou_min": round(float(np.min(ious)), 4)}
+
+
+def compare_frames(ref_out: str, our_out: str, masks_dir: str) -> dict:
+    """Final result frames: overall PSNR + hole-only PSNR (input masks)."""
+    import cv2
+
+    rd = os.path.join(ref_out, "frames")
+    od = os.path.join(our_out, "frames")
+    names = sorted(set(os.listdir(rd)) & set(os.listdir(od)))
+    assert names
+    masks = sorted(os.listdir(masks_dir))
+    psnrs, hole_psnrs = [], []
+    for i, n in enumerate(names):
+        a = cv2.imread(os.path.join(rd, n))
+        b = cv2.imread(os.path.join(od, n))
+        assert a is not None and b is not None and a.shape == b.shape, n
+        psnrs.append(_psnr(a, b))
+        m = cv2.imread(os.path.join(masks_dir, masks[i]), 0) > 127
+        if m.any():
+            hole_psnrs.append(_psnr(a[m], b[m]))
+    return {"n": len(names),
+            "psnr_mean": round(float(np.mean(psnrs)), 2),
+            "psnr_min": round(float(np.min(psnrs)), 2),
+            "hole_psnr_mean": round(float(np.mean(hole_psnrs)), 2),
+            "hole_psnr_min": round(float(np.min(hole_psnrs)), 2)}
+
+
+def compare_all(ref_out: str, our_out: str, masks_dir: str) -> dict:
+    out = {}
+    for stage, sub in (("s1_init_flows", "flow"),
+                       ("s2_completed_flows", "completed_flow")):
+        rec = {}
+        for d, ref_name, our_name in (("fwd", "forward_flo", "forward_flo"),
+                                      ("bwd", "backward_flo",
+                                       "backward_flo")):
+            rd = os.path.join(ref_out, sub, ref_name)
+            odir = os.path.join(our_out, sub, our_name)
+            if os.path.isdir(rd) and os.path.isdir(odir):
+                rec[d] = compare_flow_dirs(rd, odir)
+        out[stage] = rec
+    out["s5_propagation"] = compare_prop(ref_out, our_out)
+    out["s6_final_frames"] = compare_frames(ref_out, our_out, masks_dir)
+    return out
+
+
+# ---------------------------------------------------------------- steps
+
+def _stamp(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def step_data(root: str, frames: int):
+    import bench
+
+    return bench.make_synthetic_data(root, n=frames)
+
+
+def step_checkpoints(root: str) -> dict:
+    import measure_reference_e2e as ref_e2e
+
+    done = os.path.join(root, ".ckpts_done")
+    ckpt = {"raft": os.path.join(root, "raft-things.pth"),
+            "lafc": os.path.join(root, "lafc_ckpt"),
+            "fgt": os.path.join(root, "fgt_ckpt")}
+    if not _stamp(done):
+        print("[ab] building random-init reference checkpoints (seed 0)...")
+        ckpt = ref_e2e.make_checkpoints(root)
+        open(done, "w").close()
+    return ckpt
+
+
+def step_reference(root: str, frames_dir: str, masks_dir: str,
+                   ckpt: dict) -> str:
+    import yaml
+
+    import measure_reference_e2e as ref_e2e
+
+    outroot = os.path.join(root, "ref_out")
+    done = os.path.join(root, ".ref_done")
+    if _stamp(done):
+        print("[ab] reference output cached:", outroot)
+        return outroot
+    stubs = ref_e2e.write_stubs(root)
+    run_cfg = {"mode": "object_removal", "consistencyThres": 5,
+               "alpha": 0.1, "lafc_ckpts": ckpt["lafc"],
+               "fgt_ckpts": ckpt["fgt"], "raft_model": ckpt["raft"],
+               "flow_mask_dilates": 8, "frame_dilates": 0, "gpu": 0}
+    cfg_path = os.path.join(root, "object_removal.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(run_cfg, f)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = stubs
+    cmd = [sys.executable, "-u", "video_inpainting.py",
+           "--opt", cfg_path, "--mode", "object_removal",
+           "--path", frames_dir, "--path_mask", masks_dir,
+           "--outroot", outroot, "--imgH", "240", "--imgW", "432",
+           "--vis_flows", "--vis_completed_flows", "--vis_prop",
+           "--vis_frame"]
+    print("[ab] running reference driver (untimed, ~17-30 min):",
+          " ".join(cmd))
+    t0 = time.perf_counter()
+    log = os.path.join(root, "reference_stdout.log")
+    with open(log, "w") as lf:
+        rc = subprocess.call(cmd, cwd=os.path.join(REF, "tool"), env=env,
+                             stdout=lf, stderr=subprocess.STDOUT)
+    dt = time.perf_counter() - t0
+    ok = rc == 0 and os.path.exists(os.path.join(outroot, "result.mp4"))
+    print(f"[ab] reference rc={rc} ok={ok} wall={dt:.0f}s (log: {log})")
+    if not ok:
+        with open(log) as f:
+            print(f.read()[-4000:])
+        raise SystemExit("reference run failed")
+    open(done, "w").close()
+    return outroot
+
+
+def step_convert(root: str, ckpt: dict) -> dict:
+    out = {"raft": os.path.join(root, "jx", "raft"),
+           "lafc": os.path.join(root, "jx", "lafc"),
+           "fgt": os.path.join(root, "jx", "fgt")}
+    done = os.path.join(root, ".convert_done")
+    if _stamp(done):
+        return out
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # conversion is tiny; keep off the tunnel
+    jobs = [("raft", ckpt["raft"], out["raft"], []),
+            ("lafc", os.path.join(ckpt["lafc"], "lafc.pth.tar"),
+             out["lafc"], ["--config",
+                           os.path.join(ckpt["lafc"], "config.yaml")]),
+            ("fgt", os.path.join(ckpt["fgt"], "fgt.pth.tar"),
+             out["fgt"], ["--config",
+                          os.path.join(ckpt["fgt"], "config.yaml")])]
+    for kind, src, dst, extra in jobs:
+        cmd = [sys.executable, os.path.join(REPO, "tools",
+                                            "convert_weights.py"),
+               kind, src, dst] + extra
+        print("[ab] convert:", " ".join(cmd))
+        rc = subprocess.call(cmd, env=env)
+        if rc != 0:
+            raise SystemExit(f"weight conversion failed for {kind}")
+    open(done, "w").close()
+    return out
+
+
+# strict parity variant: f32 compute + the reference's exact per-window
+# shapes (the default clamped static windows are an intentional TPU-first
+# deviation — different overlap membership at video boundaries); bf16
+# default = the production config, records the combined precision +
+# windowing delta against the reference.
+VARIANT_FLAGS = {
+    "f32_exact": ["--f32", "--exact_windows"],
+    "f32": ["--f32"],
+    "bf16": [],
+}
+
+
+def step_ours(root: str, frames_dir: str, masks_dir: str, jx: dict,
+              variant: str, cpu: bool) -> str:
+    outroot = os.path.join(root, f"our_out_{variant}")
+    done = os.path.join(root, f".ours_{variant}_done")
+    if _stamp(done):
+        print(f"[ab] fgt_tpu output cached ({variant}):", outroot)
+        return outroot
+    env = dict(os.environ)
+    if cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, "-m", "fgt_tpu.pipeline.video_inpainting",
+           "--mode", "object_removal", "--path", frames_dir,
+           "--path_mask", masks_dir, "--outroot", outroot,
+           "--imgH", "240", "--imgW", "432",
+           "--consistencyThres", "5", "--alpha", "0.1",
+           "--flow_mask_dilates", "8", "--frame_dilates", "0",
+           "--raft_model", os.path.join(jx["raft"], "raft.msgpack"),
+           "--lafc_ckpts", jx["lafc"], "--fgt_ckpts", jx["fgt"],
+           "--vis_flows", "--vis_completed_flows", "--vis_prop",
+           "--vis_frame"]
+    cmd += VARIANT_FLAGS[variant]
+    print(f"[ab] running fgt_tpu pipeline ({variant}):", " ".join(cmd))
+    t0 = time.perf_counter()
+    log = os.path.join(root, f"ours_{variant}_stdout.log")
+    with open(log, "w") as lf:
+        rc = subprocess.call(cmd, cwd=REPO, env=env, stdout=lf,
+                             stderr=subprocess.STDOUT)
+    dt = time.perf_counter() - t0
+    ok = rc == 0 and os.path.exists(os.path.join(outroot, "result.mp4"))
+    print(f"[ab] fgt_tpu ({variant}) rc={rc} ok={ok} wall={dt:.0f}s")
+    if not ok:
+        with open(log) as f:
+            print(f.read()[-4000:])
+        raise SystemExit(f"fgt_tpu run failed ({variant})")
+    open(done, "w").close()
+    return outroot
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--workdir", default="/tmp/fgt_ab")
+    ap.add_argument("--fresh", action="store_true",
+                    help="wipe the workdir (redoes the reference run)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the fgt_tpu side on CPU instead of the TPU")
+    ap.add_argument("--variants", default="f32_exact,bf16",
+                    help="comma list of fgt_tpu precision variants")
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "AB_REFERENCE.json"))
+    args = ap.parse_args(argv)
+
+    root = args.workdir
+    if args.fresh and os.path.isdir(root):
+        shutil.rmtree(root)
+    os.makedirs(root, exist_ok=True)
+
+    frames_dir, masks_dir = step_data(root, args.frames)
+    ckpt = step_checkpoints(root)
+    ref_out = step_reference(root, frames_dir, masks_dir, ckpt)
+    jx = step_convert(root, ckpt)
+
+    record = {
+        "protocol": f"object removal 432x240, {args.frames} frames, "
+                    "random-init SAME weights both sides (torch seed 0, "
+                    "converted via tools/convert_weights.py), reference "
+                    "driver /root/reference/tool/video_inpainting.py "
+                    "subprocess with --vis_* dumps vs fgt_tpu pipeline "
+                    "with matching dumps",
+        "reference_device": "cpu (torch)",
+        "fgt_tpu_device": "cpu" if args.cpu else "tpu (v5e via axon)",
+        "variants": {},
+    }
+    for variant in args.variants.split(","):
+        assert variant in VARIANT_FLAGS, variant
+        our_out = step_ours(root, frames_dir, masks_dir, jx, variant,
+                            args.cpu)
+        print(f"[ab] comparing ({variant})...")
+        record["variants"][variant] = compare_all(ref_out, our_out,
+                                                  masks_dir)
+
+    # pass/fail gates (the f32 run is the like-for-like one)
+    f32 = record["variants"].get("f32_exact")
+    if f32:
+        record["gates"] = {
+            "final_psnr_min_ge_35": f32["s6_final_frames"]["psnr_min"]
+            >= 35.0,
+            "hole_psnr_min_ge_30": f32["s6_final_frames"]["hole_psnr_min"]
+            >= 30.0,
+            "prop_mask_iou_ge_0p90":
+                f32["s5_propagation"]["mask_iou_min"] >= 0.90,
+        }
+        record["pass"] = all(record["gates"].values())
+
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps(record))
+    return record
+
+
+if __name__ == "__main__":
+    main()

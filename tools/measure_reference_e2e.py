@@ -63,6 +63,9 @@ def write_flow(flow, path):
         flow.tofile(f)
 
 def flow2rgb(flow):
+    # uint8 (not the real cvbase's float) so the reference driver's
+    # save_flows imageio.imwrite works under this image's imageio,
+    # which rejects float32 png writes; the pngs are cosmetic
     import cv2
     mag = np.sqrt((flow ** 2).sum(-1))
     ang = np.arctan2(flow[..., 1], flow[..., 0])
@@ -71,7 +74,7 @@ def flow2rgb(flow):
     hsv[..., 1] = 255
     m = mag / (mag.max() + 1e-9)
     hsv[..., 2] = (m * 255).astype(np.uint8)
-    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32) / 255.0
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
 '''
 
 SKIMAGE_FEATURE_STUB = '''\
