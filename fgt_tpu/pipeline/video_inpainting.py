@@ -194,6 +194,11 @@ class Models:
         # compute dtype; --f32 implies it.
         self.wire, self.wire_np = wire_dtypes(
             self.dtype == jnp.bfloat16, getattr(args, "wire_f32", False))
+        # s2 diffusion runs on device by default (ops/diffusion_tpu);
+        # --host_diffusion restores the host scipy/native solve. Mesh
+        # runs keep the host path: the plain-jit solve does not carry
+        # sharding annotations.
+        self.device_diffusion = not getattr(args, "host_diffusion", False)
         # --- RAFT ---
         self.raft_iters = getattr(args, "raft_iters", 20)
         self.raft_cfg = raft_mod.RAFTConfig(
@@ -261,6 +266,7 @@ class Models:
                                                     tp_param_fraction)
 
             self.mesh = make_mesh(tp=tp, sp=sp)
+            self.device_diffusion = False
             self.dp_size = int(self.mesh.devices.shape[0])
             if sp > 1:
                 # Ulysses temporal sequence parallelism: rebuild the FGT
@@ -634,6 +640,23 @@ class Models:
         return fn
 
     @functools.cached_property
+    def diffuse_fn(self):
+        from fgt_tpu.ops.diffusion_tpu import diffuse_flows_device
+
+        @jax.jit
+        def run(flows, masks_u8):
+            """Device regionfill diffusion (ops/diffusion_tpu batched CG):
+            the s1 flows never leave the device on their way into LAFC —
+            replaces the host scipy/native solve + packed re-upload of
+            the diffused hole values (reference diffusion at
+            tool/video_inpainting.py:44-52)."""
+            out = diffuse_flows_device(flows.astype(jnp.float32),
+                                       masks_u8[..., 0])
+            return out.astype(self.wire)
+
+        return costed(run, "diffuse_fn")
+
+    @functools.cached_property
     def scatter_holes_fn(self):
         @jax.jit
         def run(flows, idx, vals):
@@ -818,12 +841,32 @@ def complete_flows_scan_dispatch(models: Models, flows: np.ndarray,
     cfg = models.lafc_config
     num_flows, interval = cfg["num_flows"], cfg.get("flow_interval", 3)
     t, h, w, _ = flows.shape
+
+    hole_idx = np.flatnonzero(masks[..., 0].ravel() > 0).astype(np.int32)
+    if (models.device_diffusion and flows_dev is not None
+            and hole_idx.size > 0):
+        # flows are device-resident from s1 and the diffusion solve runs
+        # on device too: only the flat hole indices cross the wire (the
+        # host solve + its packed diffused-value upload both disappear)
+        idx_p = _pad_tail(hole_idx, -(-hole_idx.size // _PACK_BUCKET)
+                          * _PACK_BUCKET)
+        idx_dev = _put(idx_p)
+        masks_dev = models.scatter_ones_fn(idx_dev, (t, h, w))
+        diffused_dev = models.diffuse_fn(flows_dev, masks_dev)
+        ids = np.asarray([indices_gen(i, interval, num_flows, t)
+                          for i in range(t)], np.int32)
+        chunk = max(1, min(chunk, t))
+        ids_k = _scan_chunks(ids, chunk)
+        out = models.lafc_scan_fn(models.lafc_vars, diffused_dev, masks_dev,
+                                  flows_dev,
+                                  models.shard_scan_ids(ids_k, axis=1))
+        return (out[:t], flows, hole_idx, idx_dev)
+
     diffused = diffusion(flows, masks)
 
     if flows_dev is None:
         flows_dev = _put(flows.astype(models.wire_np))
 
-    hole_idx = np.flatnonzero(masks[..., 0].ravel() > 0).astype(np.int32)
     dense_bytes = t * h * w * 2 * np.dtype(models.wire_np).itemsize
     packed_bytes = hole_idx.size * (4 + 2 * np.dtype(models.wire_np).itemsize)
     if hole_idx.size and packed_bytes < dense_bytes:
@@ -1790,6 +1833,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 params + activations on TPU (default)")
     p.add_argument("--f32", dest="bf16", action="store_false",
                    help="full float32 inference (reference dtype)")
+    p.add_argument("--host_diffusion", action="store_true",
+                   help="run the s2 regionfill diffusion on the host "
+                        "(scipy/native multigrid) instead of the default "
+                        "on-device batched-CG solve")
     p.add_argument("--wire_f32", action="store_true",
                    help="keep host<->device flow transfers in f32 even "
                         "under bf16 compute (f16 wire error is relative: "

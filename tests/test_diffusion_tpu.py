@@ -113,3 +113,28 @@ def test_hole_values_ignored():
     a = np.asarray(diffuse_flows_device(flow, mask))
     b = np.asarray(diffuse_flows_device(poisoned, mask))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_f16_wire_input_one_ulp():
+    """With f16-quantized inputs (the pipeline's wire dtype) the device
+    solve matches the exact host solve of the same quantized field to
+    ~1 f16 ulp after the wire cast — the whole backend swap is invisible
+    at the LAFC input (pipeline Models.diffuse_fn contract)."""
+    import cv2
+
+    from fgt_tpu.ops.diffusion_tpu import diffuse_flows_device
+
+    rng = np.random.RandomState(5)
+    t, h, w = 4, 64, 64
+    flows = cv2.blur(rng.randn(h, w, 2).astype(np.float32),
+                     (7, 7))[None].repeat(t, 0)
+    flows += 0.01 * rng.randn(t, h, w, 2).astype(np.float32)
+    masks = np.zeros((t, h, w), np.float32)
+    masks[:, 20:40, 24:44] = 1
+    f16 = flows.astype(np.float16)
+    host = np.stack([_host_diffuse(f16[i].astype(np.float32), masks[i])
+                     for i in range(t)])
+    dev = np.asarray(diffuse_flows_device(f16, masks))
+    d = np.abs(dev.astype(np.float16).astype(np.float32)
+               - host.astype(np.float16).astype(np.float32))
+    assert d.max() < 2e-4, d.max()

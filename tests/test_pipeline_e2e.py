@@ -275,3 +275,43 @@ def test_bf16_end_to_end_bounded_delta(tmp_path):
     # mp4 encoding adds its own noise floor; require the bf16 pass to stay
     # within a tight envelope of the f32 pass
     assert psnr > 35.0, f"bf16 deviates from f32: PSNR {psnr:.1f} dB"
+
+
+def test_device_diffusion_matches_host(tmp_path):
+    """The default on-device CG diffusion (ops/diffusion_tpu via
+    Models.diffuse_fn) must complete flows like --host_diffusion (the
+    scipy/native exact solve). Asserted on the completed-flow dumps —
+    the e2e mp4 comparison is uninformative here because random-init
+    weights + per-frame flow max-normalization amplify any LSB change."""
+    from fgt_tpu.core import flow_io
+
+    frames, masks = _make_data(tmp_path)
+    lafc, fgt = _make_ckpts(tmp_path)
+    outs = {}
+    for name, host in (("dev", False), ("host", True)):
+        a = _args(tmp_path, "object_removal", frames, masks, lafc, fgt)
+        a.outroot = str(tmp_path / f"out_{name}")
+        a.host_diffusion = host
+        a.vis_completed_flows = True
+        vi.video_inpainting(a)
+        outs[name] = a.outroot
+    # the two diffusion backends agree to 1 f16-wire ulp on the DIFFUSED
+    # field (tests/test_diffusion_tpu.py pins that directly); through the
+    # random-init LAFC net that ulp is Lipschitz-amplified ~1e3x inside
+    # the hole, so the completed-flow bound is loose there — but outside
+    # the hole the composite keeps the raw flows and must be bit-exact.
+    for d in ("forward_flo", "backward_flo"):
+        dd = os.path.join(outs["dev"], "completed_flow", d)
+        hd = os.path.join(outs["host"], "completed_flow", d)
+        names = sorted(os.listdir(dd))
+        assert names == sorted(os.listdir(hd))
+        for n in names:
+            a = flow_io.read_flow(os.path.join(dd, n))
+            b = flow_io.read_flow(os.path.join(hd, n))
+            epe = np.sqrt(((a - b) ** 2).sum(-1))
+            hole = epe > 0
+            assert epe.max() < 0.5, (d, n, epe.max())
+            # any differing pixel must lie inside the dilated flow mask
+            if hole.any():
+                frac = hole.mean()
+                assert frac < 0.15, (d, n, frac)

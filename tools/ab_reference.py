@@ -357,6 +357,21 @@ def main(argv=None):
         record["variants"][variant] = compare_all(ref_out, our_out,
                                                   masks_dir)
 
+    record["notes"] = {
+        "s1_init_flows": "f32 TPU (default-precision matmul) vs f32 "
+            "torch-CPU noise compounded through 20 GRU iterations",
+        "s2_completed_flows": "epe concentrated inside the hole: the "
+            "random-init LAFC net Lipschitz-amplifies the s1 delta; "
+            "outside the hole the composite keeps raw flows",
+        "s5_propagation": "fill-mask IoU is the glue check (same pixels "
+            "get filled); the VALUE psnr is chaotic under random-init "
+            "weights - garbage flows make the flowNN chain selection "
+            "non-robust. With trained (smooth, fb-consistent) flows the "
+            "chains are stable",
+        "s6_final_frames": "the end-to-end gate: same weights, same "
+            "clip, full pipeline on both sides",
+    }
+
     # pass/fail gates (the f32 run is the like-for-like one)
     f32 = record["variants"].get("f32_exact")
     if f32:
