@@ -374,6 +374,16 @@ int laplace_fill_fmg(double* img, const uint8_t* mask, int H, int W,
 void diffuse_flows(const float* flows, const uint8_t* masks, float* out,
                    int N, int H, int W, int C, double tol, int max_iter) {
   const size_t plane = static_cast<size_t>(H) * W;
+  int nthreads = 1;
+#ifdef _OPENMP
+  nthreads = omp_get_max_threads();
+#endif
+  // When frames alone can't feed every thread (e.g. a 3-flow LAFC window
+  // with C=2 on a wide host), spread (frame, channel) pairs instead; each
+  // thread keeps its own plan keyed by matches(), so channels of one frame
+  // landing on different threads each build at most one hierarchy.
+  const bool by_channel = N < nthreads && C > 1;
+  const int total = by_channel ? N * C : N;
 #ifdef _OPENMP
 #pragma omp parallel
 #endif
@@ -383,19 +393,27 @@ void diffuse_flows(const float* flows, const uint8_t* masks, float* out,
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
 #endif
-    for (int i = 0; i < N; ++i) {
+    for (int k = 0; k < total; ++k) {
+      const int i = by_channel ? k / C : k;
+      const int c_lo = by_channel ? k % C : 0;
+      const int c_hi = by_channel ? c_lo + 1 : C;
       const uint8_t* m = masks + static_cast<size_t>(i) * plane;
       size_t nhole = 0;
       for (size_t p = 0; p < plane; ++p) nhole += m[p] ? 1 : 0;
       if (nhole == 0) {
         const float* src = flows + (static_cast<size_t>(i) * plane) * C;
         float* dst = out + (static_cast<size_t>(i) * plane) * C;
-        std::memcpy(dst, src, plane * C * sizeof(float));
+        if (!by_channel) {
+          std::memcpy(dst, src, plane * C * sizeof(float));
+        } else {
+          for (size_t p = 0; p < plane; ++p)
+            dst[p * C + c_lo] = src[p * C + c_lo];
+        }
         continue;
       }
       const bool use_mg = nhole >= 2048 && H >= 32 && W >= 32;
       if (use_mg && !plan.matches(m, H, W)) plan.build(m, H, W);
-      for (int c = 0; c < C; ++c) {
+      for (int c = c_lo; c < c_hi; ++c) {
         const float* src = flows + (static_cast<size_t>(i) * plane) * C + c;
         for (size_t p = 0; p < plane; ++p)
           img[p] = m[p] ? 0.0 : static_cast<double>(src[p * C]);

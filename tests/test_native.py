@@ -54,6 +54,46 @@ def test_diffuse_flows_multigrid_large_border_hole():
     np.testing.assert_allclose(got[0], want, atol=1e-4)
 
 
+def test_diffuse_flows_multigrid_multiframe_identical_masks():
+    """N>=2 frames with the SAME large hole: the per-thread FMGPlan is
+    retained across frames (matches() short-circuits the rebuild); every
+    frame must still agree with the exact per-frame sparse solve (a stale
+    residual/work buffer in the reused plan would show up here)."""
+    rng = np.random.RandomState(7)
+    h, w = 96, 144
+    mask = np.zeros((h, w), bool)
+    mask[20:80, 30:110] = True          # 4800 px >= 2048 -> multigrid
+    masks = np.stack([mask] * 3)
+    flows = rng.randn(3, h, w, 2).astype(np.float32) * 4.0
+    flows *= ~masks[..., None]
+    got = native.diffuse_flows(flows, masks)
+    for i in range(3):
+        for c in range(2):
+            want = regionfill(flows[i, :, :, c], masks[i])
+            np.testing.assert_allclose(got[i, :, :, c], want, atol=1e-4,
+                                       err_msg=f"frame {i} ch {c}")
+
+
+def test_diffuse_flows_multigrid_multiframe_different_masks():
+    """N>=2 frames with DIFFERENT large holes: matches() must reject the
+    previous frame's plan and build() must fully reinitialize the level
+    hierarchy for the new mask."""
+    rng = np.random.RandomState(8)
+    h, w = 96, 144
+    masks = np.zeros((3, h, w), bool)
+    masks[0, 10:70, 20:100] = True      # 4800 px
+    masks[1, 30:90, 40:130] = True      # shifted hole, same size class
+    masks[2, 5:55, 10:120] = True       # 5500 px, different shape
+    flows = rng.randn(3, h, w, 2).astype(np.float32) * 4.0
+    flows *= ~masks[..., None]
+    got = native.diffuse_flows(flows, masks)
+    for i in range(3):
+        for c in range(2):
+            want = regionfill(flows[i, :, :, c], masks[i])
+            np.testing.assert_allclose(got[i, :, :, c], want, atol=1e-4,
+                                       err_msg=f"frame {i} ch {c}")
+
+
 def test_bilinear_interp_matches_cv2():
     rng = np.random.RandomState(2)
     img = rng.rand(30, 40, 3).astype(np.float32)
