@@ -527,42 +527,57 @@ class RAFT(nn.Module):
 
     ``test_mode`` returns (low-res flow, upsampled flow) like the reference;
     otherwise all per-iteration upsampled predictions stacked on axis 0.
+
+    TPU-native split: ``encode`` (fnet + cnet over a frame batch, once) and
+    ``refine`` (corr pyramid + iterative GRU over precomputed features) are
+    exposed as separate methods so a video pipeline can encode every frame
+    ONCE and reuse the features across all (pair, direction) combinations.
+    The reference re-encodes per pair per direction (RAFT/raft.py:102-121,
+    tool/video_inpainting.py:245-288) — ~4x redundant encoder FLOPs, which
+    on TPU dominate the latency-bound GRU loop (docs/raft_trace_r04.md).
+    Parameter tree is identical to the fused ``__call__`` path (setup
+    attribute names match the previous explicit ``name=`` strings).
     """
 
     cfg: RAFTConfig = dataclasses.field(default_factory=RAFTConfig)
 
-    @nn.compact
-    def __call__(self, image1, image2, iters: int | None = None,
-                 test_mode: bool = True):
+    def setup(self):
+        cfg = self.cfg
+        if cfg.small:
+            self.fnet = SmallEncoder(128, "instance")
+            self.cnet = SmallEncoder(cfg.hidden_dim + cfg.context_dim,
+                                     "none")
+            self.update_block = SmallUpdateBlock(cfg)
+        else:
+            self.fnet = BasicEncoder(256, "instance")
+            self.cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim,
+                                     "batch")
+            self.update_block = BasicUpdateBlock(cfg)
+
+    def encode(self, images):
+        """Frame batch [B, H, W, 3] in [0, 255] -> (fmap, net, inp) at 1/8
+        resolution. ``fmap`` feeds correlation (as either endpoint); ``net``
+        / ``inp`` are the GRU init / context of the frame as a SOURCE."""
+        x = 2 * (images / 255.0) - 1.0
+        fmap = self.fnet(x)
+        cnet = self.cnet(x)
+        net = jnp.tanh(cnet[..., :self.cfg.hidden_dim])
+        inp = nn.relu(cnet[..., self.cfg.hidden_dim:])
+        return fmap, net, inp
+
+    def refine(self, fmap1, fmap2, net, inp, iters: int | None = None,
+               test_mode: bool = True):
+        """Iterative flow refinement over precomputed features
+        (reference raft.py:123-140). fmap*: [B, H8, W8, C]."""
         cfg = self.cfg
         iters = iters or cfg.iters
-        image1 = 2 * (image1 / 255.0) - 1.0
-        image2 = 2 * (image2 / 255.0) - 1.0
-
-        if cfg.small:
-            fnet = SmallEncoder(128, "instance", name="fnet")
-            cnet_mod = SmallEncoder(cfg.hidden_dim + cfg.context_dim,
-                                    "none", name="cnet")
-            update = SmallUpdateBlock(cfg, name="update_block")
-        else:
-            fnet = BasicEncoder(256, "instance", name="fnet")
-            cnet_mod = BasicEncoder(cfg.hidden_dim + cfg.context_dim,
-                                    "batch", name="cnet")
-            update = BasicUpdateBlock(cfg, name="update_block")
-
-        both = jnp.concatenate([image1, image2], axis=0)
-        fmaps = fnet(both)
-        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        update = self.update_block
         fmap1 = fmap1.astype(jnp.float32)
         fmap2 = fmap2.astype(jnp.float32)
         if cfg.alternate_corr:
             pyramid = build_fmap_pyramid(fmap2, cfg.corr_levels)
         else:
             pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
-
-        cnet = cnet_mod(image1)
-        net = jnp.tanh(cnet[..., :cfg.hidden_dim])
-        inp = nn.relu(cnet[..., cfg.hidden_dim:])
 
         B, H8, W8, _ = fmap1.shape
         coords0 = coords_grid(B, H8, W8)
@@ -591,12 +606,10 @@ class RAFT(nn.Module):
                 flow_up = upsample_flow_convex(coords1 - coords0, mask)
             return (net, coords1), flow_up
 
-        # lax.scan needs the module bound; under nn.compact use nn.scan-free
-        # manual loop via jax.lax.scan over a closure of bound params is not
-        # possible inside @nn.compact, so unroll with fori-style scan using
-        # nn.scan would rename params. The update block is applied `iters`
-        # times with SHARED weights; a python loop keeps sharing and traces
-        # once per distinct `iters`.
+        # The update block is applied `iters` times with SHARED weights; a
+        # python loop keeps sharing and traces once per distinct `iters`
+        # (nn.scan would rename params; jax.lax.scan can't close over an
+        # unbound module).
         carry = (net, coords0)
         flow_up = None
         flows = []
@@ -608,3 +621,19 @@ class RAFT(nn.Module):
             _, coords1 = carry
             return coords1 - coords0, flow_up
         return jnp.stack(flows, axis=0)
+
+    def __call__(self, image1, image2, iters: int | None = None,
+                 test_mode: bool = True):
+        cfg = self.cfg
+        image1 = 2 * (image1 / 255.0) - 1.0
+        image2 = 2 * (image2 / 255.0) - 1.0
+
+        both = jnp.concatenate([image1, image2], axis=0)
+        fmaps = self.fnet(both)
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+
+        cnet = self.cnet(image1)
+        net = jnp.tanh(cnet[..., :cfg.hidden_dim])
+        inp = nn.relu(cnet[..., cfg.hidden_dim:])
+        return self.refine(fmap1, fmap2, net, inp, iters=iters,
+                           test_mode=test_mode)

@@ -492,33 +492,63 @@ class Models:
             self._variant_cache[key] = build_model(cfg["model"], cfg)
         return self._variant_cache[key]
 
+    @functools.cached_property
+    def raft_encode_fn(self):
+        """Encode every frame ONCE (fnet + cnet at flow resolution) for the
+        shared-feature RAFT scan. The reference re-encodes each frame per
+        (pair, direction) it appears in (RAFT/raft.py:102-121) — ~4x
+        redundant encoder FLOPs, the dominant compute block of the
+        latency-bound flow stage on TPU (docs/raft_trace_r04.md). One
+        dispatch; the device-resident (fmap, net, inp) feed both
+        directions' refinement scans."""
+        @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+        def run(variables, video_u8, flow_h, flow_w, chunk):
+            n, vh, vw = video_u8.shape[:3]
+            k = -(-n // chunk)
+            pad = k * chunk - n
+            v = video_u8
+            if pad:
+                v = jnp.concatenate(
+                    [v, jnp.repeat(v[-1:], pad, axis=0)], axis=0)
+            v = v.reshape(k, chunk, vh, vw, 3)
+
+            def body(_, fr):
+                fr = fr.astype(self.dtype)
+                if (vh, vw) != (flow_h, flow_w):
+                    # frames stored at image res; upscale on device (the
+                    # reference resizes frames on CPU, :447-450 — only
+                    # u8 image-res bytes cross the wire)
+                    fr = jax.image.resize(
+                        fr, (chunk, flow_h, flow_w, 3), "bilinear")
+                return None, self.raft.apply(variables, fr,
+                                             method="encode")
+
+            _, feats = jax.lax.scan(body, None, v)
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((k * chunk,) + a.shape[2:])[:n], feats)
+        return costed(run, "raft_encode_fn")
+
     def raft_scan(self, pallas_lookup: bool = False):
         key = ("raft_scan", pallas_lookup)
         if key in self._jit_cache:
             return self._jit_cache[key]
         raft = self.raft_variant(pallas_lookup)
 
-        @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-        def run(variables, video_u8, idx, iters, out_h, out_w, flow_h,
-                flow_w):
-            # idx: int32 [K, 2, B] (src/dst frame ids per chunk)
-            vh, vw = video_u8.shape[1:3]
+        @functools.partial(jax.jit, static_argnums=(5, 6, 7))
+        def run(variables, fmap, net, inp, idx, iters, out_h, out_w):
+            # idx: int32 [K, 2, B] (src/dst frame ids per chunk);
+            # fmap/net/inp: per-frame 1/8-res features from raft_encode_fn
+            h = fmap.shape[1] * 8
+            w = fmap.shape[2] * 8
 
             def body(_, ix):
-                a = jnp.take(video_u8, ix[0], axis=0).astype(self.dtype)
-                b = jnp.take(video_u8, ix[1], axis=0).astype(self.dtype)
-                if (vh, vw) != (flow_h, flow_w):
-                    # frames stored at image res; upscale on device (the
-                    # reference resizes frames on CPU, :447-450 — only
-                    # u8 image-res bytes cross the wire here)
-                    bs = a.shape[0]
-                    a = jax.image.resize(a, (bs, flow_h, flow_w, 3),
-                                         "bilinear")
-                    b = jax.image.resize(b, (bs, flow_h, flow_w, 3),
-                                         "bilinear")
-                flow = raft.apply(variables, a, b, iters=iters,
-                                  test_mode=True)[1]
-                bs, h, w, _ = flow.shape
+                f1 = jnp.take(fmap, ix[0], axis=0)
+                f2 = jnp.take(fmap, ix[1], axis=0)
+                nt = jnp.take(net, ix[0], axis=0)
+                ip = jnp.take(inp, ix[0], axis=0)
+                flow = raft.apply(variables, f1, f2, nt, ip, iters=iters,
+                                  test_mode=True, method="refine")[1]
+                bs = flow.shape[0]
                 if (out_h, out_w) != (h, w):
                     scale = jnp.asarray([out_w / w, out_h / h], flow.dtype)
                     flow = jax.image.resize(
@@ -741,6 +771,10 @@ def _fetch(x) -> np.ndarray:
 # of distinct jit signatures bounded across videos/mask sizes
 _PACK_BUCKET = 1 << 15
 
+# frames per step of the one-shot RAFT encoder scan (bounds activation
+# memory for long videos; the encoders are cheap relative to refinement)
+RAFT_ENCODE_CHUNK = 8
+
 
 def _pad_tail(a: np.ndarray, size: int, axis: int = 0) -> np.ndarray:
     """Pad with repeats of the final slice to reach ``size`` along axis."""
@@ -807,13 +841,14 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
             wire=np.dtype(models.wire_np).name)
         use_pl = pg._platform() == "tpu" and pg.allowed(sig, "raft pallas "
                                                              "lookup")
+    # encode ONCE; both direction scans reuse the device-resident features
+    fmap, fnet_, finp = models.raft_encode_fn(
+        models.raft_vars, video_u8_dev, flow_h, flow_w, RAFT_ENCODE_CHUNK)
     fn = models.raft_scan(use_pl)
-    out_f = fn(models.raft_vars, video_u8_dev,
-               models.shard_scan_ids(idx_f, axis=2), iters,
-               img_h, img_w, flow_h, flow_w)
-    out_b = fn(models.raft_vars, video_u8_dev,
-               models.shard_scan_ids(idx_b, axis=2), iters,
-               img_h, img_w, flow_h, flow_w)
+    out_f = fn(models.raft_vars, fmap, fnet_, finp,
+               models.shard_scan_ids(idx_f, axis=2), iters, img_h, img_w)
+    out_b = fn(models.raft_vars, fmap, fnet_, finp,
+               models.shard_scan_ids(idx_b, axis=2), iters, img_h, img_w)
     flows_f = _fetch(out_f[:pairs]).astype(np.float32)   # overlaps out_b
 
     def fetch_b():
@@ -1045,10 +1080,13 @@ def fgt_scan_signature(fgt_config: dict, dtype: str, frames_shape,
 
 def raft_scan_signature(raft_cfg, dtype: str, vshape, idx_shape, iters,
                         out_hw, flow_hw, wire: str = "float16"):
-    """Guard signature for the pallas-lookup RAFT scan program (pure)."""
+    """Guard signature for the pallas-lookup RAFT scan program (pure).
+    Kind "raft_scan_shared": the refine-only scan over precomputed frame
+    features (round 4) — entries warmed for the old fused program must not
+    validate this one."""
     from fgt_tpu.utils import pallas_guard as pg
 
-    return pg.signature("raft_scan", vshape=tuple(vshape),
+    return pg.signature("raft_scan_shared", vshape=tuple(vshape),
                         idx=tuple(idx_shape), iters=iters,
                         out=tuple(out_hw), flow=tuple(flow_hw),
                         dtype=dtype, wire=pg.canonical_dtype(wire),

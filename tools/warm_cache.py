@@ -151,10 +151,20 @@ def run_child(args):
 
     if "raft" in sigs:
         print(f"compiling raft_scan (pallas lookup) {p['vshape']} ...")
+        # mirror the shared-encoding split: refine-only scan over
+        # precomputed 1/8-res features (calculate_flows_scan)
+        n = p["vshape"][0]
+        h8, w8 = p["flow_hw"][0] // 8, p["flow_hw"][1] // 8
+        cfg = models.raft_cfg
+        fdim = 128 if cfg.small else 256
+        ft = models.dtype
         fn = models.raft_scan(pallas_lookup=True)
-        fn.fn.lower(models.raft_vars, sds(p["vshape"], np.uint8),
+        fn.fn.lower(models.raft_vars,
+                    sds((n, h8, w8, fdim), ft),
+                    sds((n, h8, w8, cfg.hidden_dim), ft),
+                    sds((n, h8, w8, cfg.context_dim), ft),
                     sds(p["idx_shape"], np.int32), p["iters"],
-                    *p["out_hw"], *p["flow_hw"]).compile()
+                    *p["out_hw"]).compile()
         pg.record(sigs["raft"], True)
         print("  ok:", sigs["raft"])
 
