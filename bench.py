@@ -69,7 +69,9 @@ def run_pipeline(frames_dir: str, masks_dir: str, outroot: str, models=None):
         "--imgH", str(IMG_H),
         "--imgW", str(IMG_W),
     ]
-    args = build_parser().parse_args(argv)
+    # tuning probes: BENCH_EXTRA_ARGS="--raft_chunk 23" python bench.py
+    extra = os.environ.get("BENCH_EXTRA_ARGS", "").split()
+    args = build_parser().parse_args(argv + extra)
     t0 = time.perf_counter()
     out_path = video_inpainting(args, models=models)
     wall = time.perf_counter() - t0
@@ -95,9 +97,14 @@ def warm_pallas_cache():
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "warm_cache.py")
     try:
+        extra = os.environ.get("BENCH_EXTRA_ARGS", "").split()
+        fwd = []
+        for flag in ("--raft_chunk", "--window_batch", "--raft_iters"):
+            if flag in extra:       # keep the warmed signature in sync
+                fwd += [flag, extra[extra.index(flag) + 1]]
         proc = subprocess.run(
             [sys.executable, tool, "--frames", str(N_FRAMES),
-             "--imgH", str(IMG_H), "--imgW", str(IMG_W)],
+             "--imgH", str(IMG_H), "--imgW", str(IMG_W)] + fwd,
             timeout=float(os.environ.get("FGT_WARM_TIMEOUT", "1800")),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         print(proc.stdout[-2000:], file=sys.stderr)

@@ -776,6 +776,20 @@ _PACK_BUCKET = 1 << 15
 RAFT_ENCODE_CHUNK = 8
 
 
+def auto_raft_chunk(pairs: int, flow_h: int, flow_w: int,
+                    budget_bytes: int = 6 << 30) -> int:
+    """Widest per-scan-step pair batch whose correlation pyramid fits the
+    HBM budget. The GRU refinement is latency-bound — ~120 sequential
+    small-spatial iterations (docs/raft_trace_r04.md) — so the batch must
+    be as wide as memory allows: widening 8 -> 23 on the 24-frame bench
+    moved s1 MFU 2.4% -> 9.6% and the stage wall 2.60 -> 1.78 s. With the
+    encoders hoisted into the shared one-shot encode, the pyramid is the
+    only memory term that scales with the chunk."""
+    n_tok = (flow_h // 8) * (flow_w // 8)
+    per_pair = n_tok * n_tok * 4 * 4 // 3   # f32 volume, 4/3 pyramid sum
+    return max(1, min(pairs, int(budget_bytes // max(per_pair, 1))))
+
+
 def _pad_tail(a: np.ndarray, size: int, axis: int = 0) -> np.ndarray:
     """Pad with repeats of the final slice to reach ``size`` along axis."""
     have = a.shape[axis]
@@ -1527,13 +1541,16 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
         return max(v, ndev)
 
     # RAFT memory scales with the FLOW resolution (864x480 at the default
-    # 432x240 input because of the 2x upscale rule)
-    # chunk 8: halves the per-call tunnel latency overhead; corr volumes
-    # at the 864x480 flow ceiling stay ~1.3 GB bf16 (fits one 16 GB chip).
-    # chunk 16 was probed and measured SLOWER e2e (s1 3.16s -> 3.75s on the
-    # 24-frame bench): the marginal dispatch saving loses to the bigger
-    # per-chunk fetch stall at tunnel bandwidth.
-    raft_chunk = _auto("raft_chunk", 8, flow_h, flow_w, 480, 864)
+    # 432x240 input because of the 2x upscale rule). The chunk is HBM-
+    # budgeted, not latency-tuned: with the encoders hoisted out of the
+    # scan (shared encoding) the refinement loop is latency-bound and
+    # wants the widest batch the correlation pyramid allows.
+    raft_chunk = getattr(args, "raft_chunk", None)
+    if raft_chunk is None:
+        raft_chunk = auto_raft_chunk(n_frames - 1, flow_h, flow_w)
+        logger.info("auto raft_chunk=%d for %dx%d", raft_chunk, flow_w,
+                    flow_h)
+    raft_chunk = max(raft_chunk, ndev)
     chunked = bool(getattr(args, "chunked_dispatch", False))
     flows_dev_f = flows_dev_b = None
     video_u8_base = video_u8_dev = None

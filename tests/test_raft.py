@@ -71,6 +71,29 @@ def test_raft_forward_smoke():
     assert np.isfinite(np.asarray(up)).all()
 
 
+def test_encode_refine_matches_call():
+    """The shared-encoding split (encode all frames once; refine over
+    gathered features — the pipeline's video path) must reproduce the
+    fused __call__ pairwise forward."""
+    cfg = RAFTConfig(iters=2)
+    model = RAFT(cfg)
+    rng = np.random.RandomState(3)
+    video = rng.randint(0, 255, (3, 64, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(video[:1]),
+                           jnp.asarray(video[1:2]), iters=1)
+    lr_ref, up_ref = model.apply(variables, jnp.asarray(video[:2]),
+                                 jnp.asarray(video[1:]), iters=2)
+
+    fmap, net, inp = model.apply(variables, jnp.asarray(video),
+                                 method="encode")
+    lr, up = model.apply(variables, fmap[:2], fmap[1:], net[:2], inp[:2],
+                         iters=2, method="refine")
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lr_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(up_ref),
+                               rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.heavy
 def test_lookup_matches_scalar_tap_reference():
     """The banded/one-hot lookup must be bit-equal to the naive 4-corner

@@ -56,7 +56,9 @@ def plan(args):
     vshape = (n, img_h, img_w, 3) if not args.cpu_frame_upscale \
         else (n, flow_h, flow_w, 3)
 
-    raft_chunk = _auto(args.raft_chunk, 8, flow_h, flow_w, 480, 864)
+    from fgt_tpu.pipeline.video_inpainting import auto_raft_chunk
+    raft_chunk = (args.raft_chunk if args.raft_chunk is not None
+                  else auto_raft_chunk(n - 1, flow_h, flow_w))
     # one scan program PER DIRECTION (pipeline overlaps the forward fetch
     # with the backward compute), so the idx shape covers n-1 pairs
     pairs = n - 1
