@@ -30,15 +30,32 @@ def output_size(spatial: tuple, kernel_size, stride, padding) -> tuple:
     return tuple((spatial[i] + 2 * p[i] - k[i]) // s[i] + 1 for i in range(2))
 
 
+def _cells_eligible(k, s, p) -> bool:
+    """Cell decomposition applies when every window starts on a stride-
+    aligned boundary (p % s == 0) and the stride is a real downsample."""
+    return all(p[i] % s[i] == 0 and s[i] > 1 for i in range(2))
+
+
 def unfold(x: jnp.ndarray, kernel_size, stride=1, padding=0) -> jnp.ndarray:
     """``[B, H, W, C] -> [B, L, C*kh*kw]`` sliding-window patch extraction.
 
     L = number of window positions (row-major), flattened patch features in
     torch order (c slowest, then i, then j).
+
+    Two lowerings:
+    * cell path (stride-aligned windows, the FGT 7/3/3 geometry): space-
+      to-depth by the stride, then ``ceil(k/s)^2`` CONTIGUOUS slices of
+      the cell grid. The profile of the GAN train step showed the naive
+      form below spending 68% of device time in strided `slice`/copy ops
+      (docs/fgt_train_trace_r04.md) — stride-3 slices defeat efficient
+      DMA; the cell path moves the same bytes contiguously.
+    * generic path: kh*kw strided slices (any geometry).
     """
     k, s, p = _resolve(kernel_size), _resolve(stride), _resolve(padding)
     B, H, W, C = x.shape
     oh, ow = output_size((H, W), k, s, p)
+    if _cells_eligible(k, s, p):
+        return _unfold_cells(x, k, s, p, oh, ow)
     xp = jnp.pad(x, ((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)))
     taps = []
     for i in range(k[0]):
@@ -54,6 +71,32 @@ def unfold(x: jnp.ndarray, kernel_size, stride=1, padding=0) -> jnp.ndarray:
     patches = jnp.stack(taps, axis=0)            # [kh*kw, B, oh, ow, C]
     patches = patches.transpose(1, 2, 3, 4, 0)   # [B, oh, ow, C, kh*kw]
     return patches.reshape(B, oh * ow, C * k[0] * k[1])
+
+
+def _unfold_cells(x: jnp.ndarray, k, s, p, oh: int, ow: int) -> jnp.ndarray:
+    """Cell-decomposed unfold: with p % s == 0 every window starts at a
+    multiple of the stride, so a window covers exactly nc = ceil(k/s)
+    stride-sized cells per axis. One space-to-depth reshape turns the
+    kh*kw strided gathers into nc^2 contiguous cell-grid slices."""
+    B, H, W, C = x.shape
+    nc_h = -(-k[0] // s[0])
+    nc_w = -(-k[1] // s[1])
+    gh, gw = oh - 1 + nc_h, ow - 1 + nc_w        # cell-grid extent
+    xp = jnp.pad(x, ((0, 0),
+                     (p[0], gh * s[0] - H - p[0]),
+                     (p[1], gw * s[1] - W - p[1]),
+                     (0, 0)))
+    cells = xp.reshape(B, gh, s[0], gw, s[1], C)
+    rows = jnp.stack([cells[:, dy:dy + oh] for dy in range(nc_h)],
+                     axis=2)                      # [B, oh, nc_h, s0, gw, s1, C]
+    win = jnp.stack([rows[:, :, :, :, dx:dx + ow]
+                     for dx in range(nc_w)], axis=5)
+    # [B, oh, nc_h, s0, ow, nc_w, s1, C] -> pixel-major windows
+    win = win.reshape(B, oh, nc_h * s[0], ow, nc_w * s[1], C)
+    win = win[:, :, :k[0], :, :k[1], :]           # drop cell overhang
+    # torch feature order: c slowest, then i (kh), then j (kw)
+    win = win.transpose(0, 1, 3, 5, 2, 4)         # [B, oh, ow, C, kh, kw]
+    return win.reshape(B, oh * ow, C * k[0] * k[1])
 
 
 def fold(patches: jnp.ndarray, out_spatial: tuple, kernel_size,
@@ -73,6 +116,8 @@ def fold(patches: jnp.ndarray, out_spatial: tuple, kernel_size,
         channels = CK // (k[0] * k[1])
     oh, ow = output_size(out_spatial, k, s, p)
     assert L == oh * ow, f"fold: {L} patches != {oh}x{ow} positions"
+    if _cells_eligible(k, s, p):
+        return _fold_cells(patches, out_spatial, k, s, p, channels, oh, ow)
     hp = out_spatial[0] + 2 * p[0]
     wp = out_spatial[1] + 2 * p[1]
     # torch patch-feature order: c slowest, then i, then j
@@ -89,6 +134,38 @@ def fold(patches: jnp.ndarray, out_spatial: tuple, kernel_size,
                 (0, 0, 0)))
             img = padded if img is None else img + padded
     return img[:, p[0]:hp - p[0], p[1]:wp - p[1], :]
+
+
+def _fold_cells(patches: jnp.ndarray, out_spatial: tuple, k, s, p,
+                channels: int, oh: int, ow: int) -> jnp.ndarray:
+    """Cell-decomposed fold (adjoint of :func:`_unfold_cells`): scatter
+    each window into the stride-cell grid with nc = ceil(k/s) shifted
+    CONTIGUOUS adds per axis instead of kh*kw interior-padded scatters,
+    then depth-to-space back to pixels."""
+    B = patches.shape[0]
+    nc_h = -(-k[0] // s[0])
+    nc_w = -(-k[1] // s[1])
+    gh, gw = oh - 1 + nc_h, ow - 1 + nc_w
+    pt = patches.reshape(B, oh, ow, channels, k[0], k[1])
+    pt = jnp.pad(pt, ((0, 0), (0, 0), (0, 0), (0, 0),
+                      (0, nc_h * s[0] - k[0]), (0, nc_w * s[1] - k[1])))
+    pt = pt.reshape(B, oh, ow, channels, nc_h, s[0], nc_w, s[1])
+    pt = pt.transpose(0, 1, 4, 5, 2, 6, 7, 3)
+    # [B, oh, nc_h, s0, ow, nc_w, s1, C]
+    acc = None
+    for dy in range(nc_h):
+        row = jnp.pad(pt[:, :, dy], ((0, 0), (dy, nc_h - 1 - dy),
+                                     (0, 0), (0, 0), (0, 0), (0, 0),
+                                     (0, 0)))
+        acc = row if acc is None else acc + row
+    out = None
+    for dx in range(nc_w):                       # acc: [B,gh,s0,ow,nc_w,s1,C]
+        col = jnp.pad(acc[:, :, :, :, dx], ((0, 0), (0, 0), (0, 0),
+                                            (dx, nc_w - 1 - dx), (0, 0),
+                                            (0, 0)))
+        out = col if out is None else out + col  # [B, gh, s0, gw, s1, C]
+    img = out.reshape(B, gh * s[0], gw * s[1], channels)
+    return img[:, p[0]:p[0] + out_spatial[0], p[1]:p[1] + out_spatial[1], :]
 
 
 def fold_counts(out_spatial: tuple, kernel_size, stride=1,
