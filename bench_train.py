@@ -251,6 +251,183 @@ def run_fgt(args, timer, results):
     results["fgt" + variant] = rec
 
 
+def _sn_sigmas(d_params, d_spectral):
+    """Estimated spectral norm per SN conv: sigma = u^T W v from the
+    power-iteration buffers (torch.nn.utils.spectral_norm's estimate).
+    Walks the spectral collection; params share the module paths."""
+    import jax
+
+    sig = {}
+    spec_flat = jax.tree_util.tree_flatten_with_path(d_spectral)[0]
+    by_mod: dict = {}
+    for path, leaf in spec_flat:
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        by_mod.setdefault(keys[:-1], {})[keys[-1]] = np.asarray(leaf)
+    for mod, uv in by_mod.items():
+        if "u" not in uv or "v" not in uv:
+            continue
+        node = d_params
+        try:
+            for k in mod:
+                node = node[k]
+            kernel = np.asarray(node["kernel"], np.float64)
+        except (KeyError, TypeError):
+            continue
+        out = kernel.shape[-1]
+        mat = kernel.reshape(-1, out).T  # (out, rest)
+        sig["/".join(mod)] = float(uv["u"] @ (mat @ uv["v"]))
+    return sig
+
+
+def run_fgt_sustained(args, timer, results):
+    """Sustained reference-scale FGT GAN training (VERDICT r3 #4): N
+    steps of alternating D/G updates at the reference dims
+    (FGT/config/train.yaml:34-85, hot loop FGT/networks/network.py:86-182),
+    cycling a pool of distinct synthetic batches so the adversarial
+    dynamics are real (not single-batch overfit). Logs G/D losses, the
+    discriminator's spectral-norm sigma estimates, and the LR schedule;
+    does one mid-run checkpoint->restore and asserts the resumed
+    trajectory matches the uninterrupted one exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from fgt_tpu.models.discriminator import TemporalPatchGAN
+    from fgt_tpu.models.registry import build_model
+    from fgt_tpu.pipeline.video_inpainting import DEFAULT_FGT_CONFIG
+    from fgt_tpu.train.fgt_step import (FGTLossWeights, GANTrainState,
+                                        make_fgt_train_step)
+    from fgt_tpu.train.schedules import make_adam, warmup_step_decay
+    from fgt_tpu.utils import checkpoint as ckpt
+    from fgt_tpu.utils.costs import costed
+
+    h, w = args.imgH, args.imgW
+    t = 5
+    b = args.batch or 2     # reference: batch 2/GPU (train.yaml:34-45)
+    n_steps = args.sustained
+    log_every = max(1, args.log_every)
+    cfg = dict(DEFAULT_FGT_CONFIG)
+    cfg["res_h"], cfg["res_w"] = h, w
+    cfg["use_flash"] = 1 if args.flash else 0
+    gen = build_model("model", cfg)
+    disc = TemporalPatchGAN(in_channels=3, dist_cnum=32)
+    rng = jax.random.PRNGKey(0)
+    g_params = jax.jit(gen.init)(rng, jnp.zeros((1, t, h, w, 3)),
+                                 jnp.zeros((1, t, h, w, 2)),
+                                 jnp.zeros((1, t, h, w, 1)))
+    d_vars = jax.jit(disc.init)(jax.random.fold_in(rng, 1),
+                                jnp.zeros((1, t, h, w, 3)))
+
+    sched = warmup_step_decay(1e-4, decay_interval=300_000, gamma=0.1)
+    g_tx, d_tx = make_adam(sched), make_adam(sched)
+
+    def g_apply(params, frames, flows, masks):
+        return gen.apply(params, frames, flows, masks)
+
+    def d_apply(variables, video, sn_update):
+        if sn_update:
+            out, mut = disc.apply(variables, video, sn_update=True,
+                                  mutable=["spectral"])
+            return out, mut["spectral"]
+        return disc.apply(variables, video), variables["spectral"]
+
+    step = costed(make_fgt_train_step(
+        g_apply, d_apply, None, g_tx, d_tx, FGTLossWeights(),
+        compute_dtype=jnp.bfloat16 if args.bf16 else None), "fgt_sustained")
+    state = GANTrainState(
+        g_params=g_params, d_params=d_vars["params"],
+        d_spectral=d_vars["spectral"], g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_vars["params"]), step=jnp.zeros((), jnp.int32))
+
+    pool = [{k: jnp.asarray(v) for k, v in
+             synth_fgt_batch(b, t, h, w, seed=s).items()}
+            for s in range(args.pool)]
+
+    curves: dict = {"step": [], "gen_loss": [], "dis_loss": [],
+                    "dis_real": [], "dis_fake": [], "adv": [],
+                    "l1_masked": [], "lr": []}
+    sigma_snapshots: dict = {}
+    resume_ok = None
+    ckpt_path = "/tmp/bench_train_fgt_sustained.msgpack"
+    mid = n_steps // 2
+
+    with timer.stage("fgt_sustained"):
+        state, m = step(state, pool[0], None)       # compile
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        i = 0
+        while i < n_steps:
+            state, m = step(state, pool[i % len(pool)], None)
+            i += 1
+            if i % log_every == 0 or i == n_steps:
+                _log_point(curves, i, m, sched)
+            if i == mid:
+                # mid-run checkpoint; continue 3 steps; restore + replay the
+                # same 3 steps on the restored copy; assert identical. The
+                # continued branch IS the main trajectory (steps mid+1..+3).
+                host_state = jax.device_get(state)
+                ckpt.save_pytree(host_state, ckpt_path)
+                sigma_snapshots["mid"] = _sn_sigmas(
+                    host_state.d_params, host_state.d_spectral)
+                cont = []
+                for j in range(3):
+                    state, m = step(state, pool[(i + j) % len(pool)], None)
+                    cont.append(float(m["gen_loss"]))
+                s3 = ckpt.load_pytree(host_state, ckpt_path)
+                res = []
+                for j in range(3):
+                    s3, mc = step(s3, pool[(i + j) % len(pool)], None)
+                    res.append(float(mc["gen_loss"]))
+                resume_ok = bool(np.allclose(cont, res, rtol=1e-4,
+                                             atol=1e-6))
+                i += 3
+        jax.block_until_ready(m)
+        wall = time.perf_counter() - t0
+
+    host_state = jax.device_get(state)
+    sigma_snapshots["end"] = _sn_sigmas(host_state.d_params,
+                                        host_state.d_spectral)
+    n_exec = n_steps + 3        # + the restored-replay probe steps
+    mfu, tfps = _mfu("fgt_sustained", n_exec, wall)
+    d = curves["dis_loss"]
+    half = len(d) // 2
+    sig_end = sigma_snapshots["end"]
+    # D collapse would show as dis_loss pinned near 0 (D wins; hinge
+    # saturates) or diverging; healthy alternating GAN keeps it bounded.
+    # SN sigma should hover near 1 (power iteration tracking the top
+    # singular value of the normalized kernel).
+    no_collapse = (min(d[half:]) > 0.02 and max(d[half:]) < 2.5
+                   and max(sig_end.values(), default=1.0) < 4.0)
+    variant = ("_bf16" if args.bf16 else "") + \
+        ("_flash" if args.flash else "")
+    rec = {"metric": f"fgt_gan_sustained_{n_steps}steps_{h}x{w}_b{b}"
+                     f"{variant}",
+           "value": round((n_steps + 6) / wall, 3), "unit": "steps/s",
+           "vs_baseline": 0.0,
+           "steps": n_steps, "wall_s": round(wall, 1),
+           "mfu": round(mfu, 4), "tflops_per_s": round(tfps, 2),
+           "batch_pool": args.pool,
+           "resume_trajectory_matches": resume_ok,
+           "no_d_collapse": bool(no_collapse),
+           "dis_loss_last_half_min": round(min(d[half:]), 4),
+           "dis_loss_last_half_max": round(max(d[half:]), 4),
+           "sn_sigma_mid": {k: round(v, 4)
+                            for k, v in sigma_snapshots["mid"].items()},
+           "sn_sigma_end": {k: round(v, 4) for k, v in sig_end.items()},
+           "curves": curves}
+    print(json.dumps({k: v for k, v in rec.items() if k != "curves"}))
+    results["fgt_sustained" + variant] = rec
+
+
+def _log_point(curves, step_idx, m, sched):
+    # sigma snapshots are taken from the mid/end host copies only (a
+    # per-point device_get of the full D tree would stall the pipeline)
+    curves["step"].append(step_idx)
+    for k in ("gen_loss", "dis_loss", "dis_real", "dis_fake", "adv",
+              "l1_masked"):
+        curves[k].append(round(float(m[k]), 5))
+    curves["lr"].append(float(sched(step_idx)))
+
+
 def main():
 
     from fgt_tpu.utils.relay import honor_cpu_request
@@ -269,6 +446,13 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="mixed precision: model fwd/bwd in bfloat16, "
                          "params/optimizer/losses in f32")
+    ap.add_argument("--sustained", type=int, default=0, metavar="N",
+                    help="run N sustained FGT GAN steps over a batch pool "
+                         "with loss/sigma/lr curves + mid-run resume check "
+                         "(overrides --model)")
+    ap.add_argument("--pool", type=int, default=8,
+                    help="distinct synthetic batches cycled in --sustained")
+    ap.add_argument("--log_every", type=int, default=25)
     args = ap.parse_args()
 
     from fgt_tpu.utils.relay import on_axon, wait_for_relay
@@ -288,10 +472,13 @@ def main():
     retain_heap()
     timer = StageTimer()
     results: dict = {}
-    if args.model in ("both", "lafc"):
-        run_lafc(args, timer, results)
-    if args.model in ("both", "fgt"):
-        run_fgt(args, timer, results)
+    if args.sustained:
+        run_fgt_sustained(args, timer, results)
+    else:
+        if args.model in ("both", "lafc"):
+            run_lafc(args, timer, results)
+        if args.model in ("both", "fgt"):
+            run_fgt(args, timer, results)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_TRAIN.json")
     # merge with prior runs so f32/bf16/flash variants coexist in the record
