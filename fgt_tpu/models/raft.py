@@ -47,6 +47,14 @@ class RAFTConfig:
     # volume itself). Opt-in: Mosaic compiles hang over this image's
     # remote-compile tunnel, so it cannot be the default here.
     pallas_lookup: bool = False
+    # storage dtype of the correlation pyramid. The all-pairs volume is
+    # the dominant HBM term of the flow stage (~224 MB/pair f32 at
+    # 864x480 flows); "bfloat16" halves it, doubling the pair batch that
+    # fits per scan step — the main lever on the latency-bound GRU loop
+    # (docs/raft_trace_r04.md). The einsum still accumulates in f32;
+    # only storage + lookup taps carry bf16 (~2^-8 relative, same
+    # regime as bf16 activations). f32 default keeps parity paths exact.
+    corr_dtype: str = "float32"
 
     def __post_init__(self):
         if self.small:
@@ -578,6 +586,11 @@ class RAFT(nn.Module):
             pyramid = build_fmap_pyramid(fmap2, cfg.corr_levels)
         else:
             pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
+            if cfg.corr_dtype != "float32":
+                # pool in f32 (above), store narrow: the pyramid only
+                # feeds the (2r+1)^2 bilinear taps, whose inputs the
+                # bf16 update block consumes at bf16 anyway
+                pyramid = [c.astype(cfg.corr_dtype) for c in pyramid]
 
         B, H8, W8, _ = fmap1.shape
         coords0 = coords_grid(B, H8, W8)

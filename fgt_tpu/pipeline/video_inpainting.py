@@ -201,10 +201,18 @@ class Models:
         self.device_diffusion = not getattr(args, "host_diffusion", False)
         # --- RAFT ---
         self.raft_iters = getattr(args, "raft_iters", 20)
+        # bf16 correlation-pyramid storage under bf16 compute: halves the
+        # dominant HBM term of the flow stage so both directions' pair
+        # batches fit one scan step (--corr_f32 restores f32 storage)
+        corr_dtype = ("bfloat16"
+                      if self.dtype == jnp.bfloat16
+                      and not getattr(args, "corr_f32", False)
+                      else "float32")
         self.raft_cfg = raft_mod.RAFTConfig(
             iters=self.raft_iters,
             small=bool(getattr(args, "small", False)),
-            alternate_corr=bool(getattr(args, "alternate_corr", False)))
+            alternate_corr=bool(getattr(args, "alternate_corr", False)),
+            corr_dtype=corr_dtype)
         self.raft = raft_mod.RAFT(self.raft_cfg)
         # pallas paths: "auto" enables the VMEM correlation-lookup kernel /
         # flash attention only where the guard says compiling is safe
@@ -777,16 +785,19 @@ RAFT_ENCODE_CHUNK = 8
 
 
 def auto_raft_chunk(pairs: int, flow_h: int, flow_w: int,
-                    budget_bytes: int = 6 << 30) -> int:
+                    budget_bytes: int = 6 << 30,
+                    corr_itemsize: int = 4) -> int:
     """Widest per-scan-step pair batch whose correlation pyramid fits the
-    HBM budget. The GRU refinement is latency-bound — ~120 sequential
+    HBM budget. The GRU refinement is latency-bound — sequential
     small-spatial iterations (docs/raft_trace_r04.md) — so the batch must
     be as wide as memory allows: widening 8 -> 23 on the 24-frame bench
     moved s1 MFU 2.4% -> 9.6% and the stage wall 2.60 -> 1.78 s. With the
     encoders hoisted into the shared one-shot encode, the pyramid is the
-    only memory term that scales with the chunk."""
+    only memory term that scales with the chunk; its bf16 storage
+    (RAFTConfig.corr_dtype) halves the per-pair cost, which at bench
+    scale fits BOTH directions' pairs in ONE scan step."""
     n_tok = (flow_h // 8) * (flow_w // 8)
-    per_pair = n_tok * n_tok * 4 * 4 // 3   # f32 volume, 4/3 pyramid sum
+    per_pair = n_tok * n_tok * corr_itemsize * 4 // 3  # 4/3 pyramid sum
     return max(1, min(pairs, int(budget_bytes // max(per_pair, 1))))
 
 
@@ -813,7 +824,8 @@ def _scan_chunks(flat: np.ndarray, chunk: int) -> np.ndarray:
 def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
                          n: int, img_h: int, img_w: int,
                          flow_h: int, flow_w: int, iters: int = 20,
-                         chunk: int = 8, defer_backward: bool = False):
+                         chunk: int = 8, defer_backward: bool = False,
+                         defer_forward: bool = False):
     """RAFT forward+backward flows in ONE dispatch: a device-side scan over
     pair chunks (reference loops python-side per pair, :245-288).
 
@@ -821,22 +833,24 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
     (image-res uploads are upscaled on device when flow runs at 2x).
     Returns (flows_f, flows_b) as float32 [n-1, img_h, img_w, 2] plus the
     device-resident (forward, backward) wire-dtype handles. With
-    ``defer_backward`` the second element is a zero-arg callable producing
-    ``flows_b`` — the caller fetches it later so the ~10 MB backward wire
-    transfer overlaps whatever it dispatches next (the s2 forward scan).
+    ``defer_backward`` / ``defer_forward`` the respective element is a
+    zero-arg callable producing the flows — the caller fetches later so
+    the ~10 MB/direction wire transfer overlaps whatever it dispatches
+    next (the s2 LAFC scans, which consume the device handles directly).
     """
     pairs = n - 1
     s_f = np.arange(pairs, dtype=np.int32)
     d_f = np.arange(1, pairs + 1, dtype=np.int32)
-    chunk = max(1, min(chunk, pairs))
-    # one scan program per direction (same shape -> one compile): the
-    # backward dispatch queues behind the forward one, so the ~10 MB
-    # forward-flow fetch streams over the tunnel WHILE the device runs
-    # the backward chunks (dispatch is async under axon)
-    idx_f = np.stack([_scan_chunks(s_f, chunk),
-                      _scan_chunks(d_f, chunk)], axis=1)  # [K, 2, B]
-    idx_b = np.stack([_scan_chunks(d_f, chunk),
-                      _scan_chunks(s_f, chunk)], axis=1)
+    chunk = max(1, min(chunk, 2 * pairs))
+    # BOTH directions ride one scan program: the GRU refinement is
+    # latency-bound (docs/raft_trace_r04.md), so batching fwd+bwd pairs
+    # into the same scan steps halves the sequential iteration depth
+    # whenever the chunk budget covers them (it does with the bf16
+    # pyramid at bench scale: 46 pairs in one step)
+    src = np.concatenate([s_f, d_f])
+    dst = np.concatenate([d_f, s_f])
+    idx = np.stack([_scan_chunks(src, chunk),
+                    _scan_chunks(dst, chunk)], axis=1)   # [K, 2, B]
 
     # Pallas VMEM correlation lookup (cuts the HBM-bound pyramid gather):
     # on under "on"; under "auto" only where the compile guard says this
@@ -851,26 +865,36 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
     else:
         sig = raft_scan_signature(
             models.raft_cfg, str(models.dtype), tuple(video_u8_dev.shape),
-            tuple(idx_f.shape), iters, (img_h, img_w), (flow_h, flow_w),
+            tuple(idx.shape), iters, (img_h, img_w), (flow_h, flow_w),
             wire=np.dtype(models.wire_np).name)
         use_pl = pg._platform() == "tpu" and pg.allowed(sig, "raft pallas "
                                                              "lookup")
-    # encode ONCE; both direction scans reuse the device-resident features
+    # encode ONCE; the merged scan reuses the device-resident features
     fmap, fnet_, finp = models.raft_encode_fn(
         models.raft_vars, video_u8_dev, flow_h, flow_w, RAFT_ENCODE_CHUNK)
     fn = models.raft_scan(use_pl)
-    out_f = fn(models.raft_vars, fmap, fnet_, finp,
-               models.shard_scan_ids(idx_f, axis=2), iters, img_h, img_w)
-    out_b = fn(models.raft_vars, fmap, fnet_, finp,
-               models.shard_scan_ids(idx_b, axis=2), iters, img_h, img_w)
-    flows_f = _fetch(out_f[:pairs]).astype(np.float32)   # overlaps out_b
+    out = fn(models.raft_vars, fmap, fnet_, finp,
+             models.shard_scan_ids(idx, axis=2), iters, img_h, img_w)
+    out_f = out[:pairs]
+    out_b = out[pairs:2 * pairs]
+    # start the D2H streams without blocking: the transfers ride the
+    # tunnel while the caller dispatches the s2 device scans (no-op on
+    # backends that don't support async host copies)
+    for h in (out_f, out_b):
+        try:
+            h.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+
+    def fetch_f():
+        return _fetch(out_f).astype(np.float32)
 
     def fetch_b():
-        return _fetch(out_b[:pairs]).astype(np.float32)
+        return _fetch(out_b).astype(np.float32)
 
-    if defer_backward:
-        return flows_f, fetch_b, out_f[:pairs], out_b[:pairs]
-    return flows_f, fetch_b(), out_f[:pairs], out_b[:pairs]
+    return ((fetch_f if defer_forward else fetch_f()),
+            (fetch_b if defer_backward else fetch_b()),
+            out_f, out_b)
 
 
 def complete_flows_scan_dispatch(models: Models, flows: np.ndarray,
@@ -889,7 +913,10 @@ def complete_flows_scan_dispatch(models: Models, flows: np.ndarray,
     """
     cfg = models.lafc_config
     num_flows, interval = cfg["num_flows"], cfg.get("flow_interval", 3)
-    t, h, w, _ = flows.shape
+    # ``flows`` may be a deferred fetch (zero-arg callable): the
+    # device-diffusion path never needs host flows until collect time,
+    # so the raw-flow wire transfer rides behind the LAFC device scans
+    t, h, w, _ = (flows_dev.shape if callable(flows) else flows.shape)
 
     hole_idx = np.flatnonzero(masks[..., 0].ravel() > 0).astype(np.int32)
     if (models.device_diffusion and flows_dev is not None
@@ -911,6 +938,8 @@ def complete_flows_scan_dispatch(models: Models, flows: np.ndarray,
                                   models.shard_scan_ids(ids_k, axis=1))
         return (out[:t], flows, hole_idx, idx_dev)
 
+    if callable(flows):  # host-diffusion path solves on host: resolve now
+        flows = flows()
     diffused = diffusion(flows, masks)
 
     if flows_dev is None:
@@ -952,6 +981,8 @@ def complete_flows_scan_collect(models: Models, state):
     compose the host-side float32 flows. Returns (completed float32
     [t, H, W, 2], device handle of the same)."""
     out, flows, hole_idx, idx_dev = state
+    if callable(flows):  # deferred raw-flow fetch: the transfer has been
+        flows = flows()  # streaming since s1 (copy_to_host_async)
     completed = flows.astype(np.float32, copy=True)
     if idx_dev is not None:
         vals = _fetch(models.gather_holes_fn(out, idx_dev))
@@ -1105,7 +1136,8 @@ def raft_scan_signature(raft_cfg, dtype: str, vshape, idx_shape, iters,
                         out=tuple(out_hw), flow=tuple(flow_hw),
                         dtype=dtype, wire=pg.canonical_dtype(wire),
                         small=raft_cfg.small,
-                        alt=raft_cfg.alternate_corr)
+                        alt=raft_cfg.alternate_corr,
+                        corr=getattr(raft_cfg, "corr_dtype", "float32"))
 
 
 def calculate_flows(models: Models, video: np.ndarray, mode: str,
@@ -1547,7 +1579,11 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     # wants the widest batch the correlation pyramid allows.
     raft_chunk = getattr(args, "raft_chunk", None)
     if raft_chunk is None:
-        raft_chunk = auto_raft_chunk(n_frames - 1, flow_h, flow_w)
+        # the merged scan batches BOTH directions' pairs: 2*(n-1) items
+        raft_chunk = auto_raft_chunk(
+            2 * (n_frames - 1), flow_h, flow_w,
+            corr_itemsize=2 if models.raft_cfg.corr_dtype != "float32"
+            else 4)
         logger.info("auto raft_chunk=%d for %dx%d", raft_chunk, flow_w,
                     flow_h)
     raft_chunk = max(raft_chunk, ndev)
@@ -1579,19 +1615,25 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
             video_u8_base = np.clip(np.round(vid_np), 0, 255).astype(
                 np.uint8)
             video_u8_dev = _put(video_u8_base)
-            # backward flows stay on device for now: their fetch overlaps
-            # the s2 forward dispatch (extrapolation resolves them early —
-            # it needs both directions on host to re-pad the canvas)
+            # both raw-flow fetches stay deferred: the s2 LAFC scans
+            # consume the device handles, so the ~19 MB of wire transfer
+            # streams behind the s2 device work and resolves at collect
+            # time (extrapolation fetches eagerly — it needs both
+            # directions on host to re-pad the canvas)
+            defer = args.mode != "video_extrapolation"
             flows_f, flows_b, flows_dev_f, flows_dev_b = calculate_flows_scan(
                 models, video_u8_dev, n_frames, img_h, img_w, flow_h,
                 flow_w, iters=models.raft_iters, chunk=raft_chunk,
-                defer_backward=args.mode != "video_extrapolation")
+                defer_backward=defer,
+                defer_forward=defer and models.device_diffusion)
     video = video255 / 255.0
 
     if getattr(args, "vis_flows", False):
         # initialized (pre-completion) flows, reference vis_flows at
-        # tool/video_inpainting.py:241-288; resolving a deferred backward
-        # fetch early here only costs overlap on this debug path
+        # tool/video_inpainting.py:241-288; resolving deferred fetches
+        # early here only costs overlap on this debug path
+        if callable(flows_f):
+            flows_f = flows_f()
         if callable(flows_b):
             flows_b = flows_b()
         _save_flows(args.outroot, flows_f, flows_b, subdir="flow")
@@ -1629,15 +1671,12 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
                 # flows were re-padded into the enlarged canvas on host —
                 # the s1 device handles no longer match
                 flows_dev_f = flows_dev_b = None
-            # dispatch both directions before collecting either: B's host
-            # diffusion and packed upload overlap F's device scan, and the
-            # packed fetches overlap the other direction's compute
+            # dispatch both directions before collecting either: the
+            # deferred raw-flow fetches (still callables on the
+            # device-diffusion path) stream over the tunnel while the
+            # LAFC scans run, and resolve inside collect below
             st_f = complete_flows_scan_dispatch(
                 models, flows_f, flows_dev_f, fm[:-1], chunk=lafc_chunk)
-            if callable(flows_b):
-                # deferred s1 fetch: the backward wire transfer rides
-                # behind the forward LAFC scan just dispatched
-                flows_b = flows_b()
             st_b = complete_flows_scan_dispatch(
                 models, flows_b, flows_dev_b, fm[1:], chunk=lafc_chunk)
 
@@ -1896,6 +1935,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep host<->device flow transfers in f32 even "
                         "under bf16 compute (f16 wire error is relative: "
                         "~0.2-0.4 px at outpainting-scale flow magnitudes)")
+    p.add_argument("--corr_f32", action="store_true",
+                   help="keep the RAFT correlation pyramid in f32 under "
+                        "bf16 compute (bf16 storage halves the flow "
+                        "stage's dominant HBM term, letting both "
+                        "directions batch into one scan step)")
     return p
 
 

@@ -79,6 +79,8 @@ def test_warm_cache_signatures_match_pipeline():
     class RC:
         small = False
         alternate_corr = False
+        # mirror of Models.__init__: bf16 compute -> bf16 pyramid storage
+        corr_dtype = "bfloat16"
 
     assert sigs["raft"] == raft_scan_signature(
         RC, str(jnp.bfloat16), p["vshape"], p["idx_shape"], 20,

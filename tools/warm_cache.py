@@ -57,11 +57,14 @@ def plan(args):
         else (n, flow_h, flow_w, 3)
 
     from fgt_tpu.pipeline.video_inpainting import auto_raft_chunk
+    corr_dtype = "bfloat16" if args.bf16 else "float32"
     raft_chunk = (args.raft_chunk if args.raft_chunk is not None
-                  else auto_raft_chunk(n - 1, flow_h, flow_w))
-    # one scan program PER DIRECTION (pipeline overlaps the forward fetch
-    # with the backward compute), so the idx shape covers n-1 pairs
-    pairs = n - 1
+                  else auto_raft_chunk(
+                      2 * (n - 1), flow_h, flow_w,
+                      corr_itemsize=2 if corr_dtype != "float32" else 4))
+    # ONE scan program for both directions (pipeline batches fwd+bwd
+    # pairs into the same scan steps), so the idx covers 2*(n-1) pairs
+    pairs = 2 * (n - 1)
     src = np.arange(pairs, dtype=np.int32)
     c = max(1, min(raft_chunk, pairs))
     idx_shape = (np.stack([_scan_chunks(src, c), _scan_chunks(src, c)],
@@ -108,12 +111,15 @@ def signatures(args, p):
     class _RC:
         small: bool
         alternate_corr: bool
+        corr_dtype: str = "float32"
 
         @property
         def alt(self):  # pragma: no cover - convenience
             return self.alternate_corr
 
-    rc = _RC(small=bool(args.small), alternate_corr=bool(args.alternate_corr))
+    rc = _RC(small=bool(args.small),
+             alternate_corr=bool(args.alternate_corr),
+             corr_dtype="bfloat16" if args.bf16 else "float32")
     sigs = {}
     if args.stage in ("all", "raft"):
         sigs["raft"] = raft_scan_signature(
