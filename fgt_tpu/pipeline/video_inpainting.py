@@ -563,7 +563,13 @@ class Models:
                         flow, (bs, out_h, out_w, 2), "bilinear") * scale
                 return None, flow.astype(self.wire)
 
-            _, flows = jax.lax.scan(body, None, idx)
+            if idx.shape[0] == 1:
+                # single-step scans skip lax.scan entirely: the while
+                # loop double-buffers its big loop-invariant operands
+                # (the encoded features), costing HBM for zero work
+                flows = body(None, idx[0])[1][None]
+            else:
+                _, flows = jax.lax.scan(body, None, idx)
             return flows.reshape(-1, out_h, out_w, 2)
 
         fn = costed(run, "raft_scan_fn" + ("_pl" if pallas_lookup else ""))
@@ -786,19 +792,74 @@ RAFT_ENCODE_CHUNK = 8
 
 def auto_raft_chunk(pairs: int, flow_h: int, flow_w: int,
                     budget_bytes: int = 6 << 30,
-                    corr_itemsize: int = 4) -> int:
-    """Widest per-scan-step pair batch whose correlation pyramid fits the
-    HBM budget. The GRU refinement is latency-bound — sequential
+                    corr_itemsize: int = 4,
+                    pallas_lookup: bool = False,
+                    radius: int = 4, levels: int = 4) -> int:
+    """Widest per-scan-step pair batch whose refine-program live set fits
+    the HBM budget. The GRU refinement is latency-bound — sequential
     small-spatial iterations (docs/raft_trace_r04.md) — so the batch must
     be as wide as memory allows: widening 8 -> 23 on the 24-frame bench
-    moved s1 MFU 2.4% -> 9.6% and the stage wall 2.60 -> 1.78 s. With the
-    encoders hoisted into the shared one-shot encode, the pyramid is the
-    only memory term that scales with the chunk; its bf16 storage
-    (RAFTConfig.corr_dtype) halves the per-pair cost, which at bench
-    scale fits BOTH directions' pairs in ONE scan step."""
+    moved s1 MFU 2.4% -> 9.6% and the stage wall 2.60 -> 1.78 s.
+
+    The budget model covers BOTH memory terms that scale with the chunk,
+    per lookup path (round-4 lesson, BENCH_r04.json rc=1: budgeting only
+    the pyramid OOM'd the chip when the guard picked the XLA lookup):
+
+    * the correlation pyramid — ``n_tok^2 * itemsize * 4/3`` per pair
+      (bf16 storage via RAFTConfig.corr_dtype halves it);
+    * the per-GRU-iteration lookup temporaries. The Pallas kernel keeps
+      them in VMEM (HBM carries only the [N, levels*k^2] f32 taps); the
+      XLA path materializes, per level, an [N, P_y, W_i] row band plus
+      [N, k, W_i] one-hot weight/partial tensors — f32, because the
+      coordinate fractions promote — whose level-0 live set dominates.
+
+    At 864x480 flows (bench shape, bf16 pyramid) this yields ~47
+    pairs/step for the Pallas path (both directions' 46 pairs in ONE
+    scan step — the config measured at 4.87 fps in round 4) and ~23 for
+    the XLA path (the chunk that ran green in BENCH_r03.json), vs the
+    46-for-both round-4 model that planned 11+ GB of HLO temps."""
     n_tok = (flow_h // 8) * (flow_w // 8)
-    per_pair = n_tok * n_tok * corr_itemsize * 4 // 3  # 4/3 pyramid sum
+    pyramid = n_tok * n_tok * corr_itemsize * 4 // 3   # 4/3 pyramid sum
+    k = 2 * radius + 1
+    p_y = 2 * radius + 2
+    taps = levels * k * k * 4 * 2                      # taps + concat copy
+    if pallas_lookup:
+        extra = n_tok * taps
+    else:
+        w0 = max(1, flow_w // 8)
+        extra = n_tok * (((p_y + 4 * k) * w0 + 3 * k * p_y) * 4 + taps)
+    per_pair = pyramid + extra
     return max(1, min(pairs, int(budget_bytes // max(per_pair, 1))))
+
+
+def _is_oom(e: BaseException) -> bool:
+    s = str(e)
+    return ("RESOURCE_EXHAUSTED" in s or "Resource exhausted" in s
+            or "out of memory" in s.lower())
+
+
+# (stage, chunk_before, chunk_after) records of OOM backoffs this process
+# took — surfaced in timings.jsonl / bench.py output so a silently
+# downgraded run is visible in the perf record
+BACKOFFS: list[tuple[str, int, int]] = []
+
+
+def _chunk_backoff(dispatch, chunk: int, stage: str, min_chunk: int = 1):
+    """Run ``dispatch(chunk)``, halving the chunk and retrying on device
+    OOM (XLA buffer-assignment RESOURCE_EXHAUSTED raises synchronously at
+    the jit call). The budget models should make this unreachable; it is
+    the un-failable backstop the round-4 crash lacked (VERDICT r4 #1b)."""
+    while True:
+        try:
+            return dispatch(chunk), chunk
+        except Exception as e:  # noqa: BLE001 - filtered by _is_oom
+            if not _is_oom(e) or chunk <= min_chunk:
+                raise
+            smaller = max(min_chunk, chunk // 2)
+            logger.warning("%s: device OOM at chunk %d; retrying with %d",
+                           stage, chunk, smaller)
+            BACKOFFS.append((stage, int(chunk), int(smaller)))
+            chunk = smaller
 
 
 def _pad_tail(a: np.ndarray, size: int, axis: int = 0) -> np.ndarray:
@@ -824,13 +885,19 @@ def _scan_chunks(flat: np.ndarray, chunk: int) -> np.ndarray:
 def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
                          n: int, img_h: int, img_w: int,
                          flow_h: int, flow_w: int, iters: int = 20,
-                         chunk: int = 8, defer_backward: bool = False,
+                         chunk: int | None = None,
+                         defer_backward: bool = False,
                          defer_forward: bool = False):
     """RAFT forward+backward flows in ONE dispatch: a device-side scan over
     pair chunks (reference loops python-side per pair, :245-288).
 
     ``video_u8_dev`` holds the video on device at image or flow resolution
     (image-res uploads are upscaled on device when flow runs at 2x).
+    ``chunk=None`` sizes the pair batch per the lookup path ACTUALLY
+    selected (the Pallas VMEM kernel and the XLA one-hot lookup have very
+    different HBM footprints — see auto_raft_chunk); an explicit chunk
+    always wins. Either way the dispatch retries at half chunk on device
+    OOM, so a mis-budgeted shape degrades instead of crashing.
     Returns (flows_f, flows_b) as float32 [n-1, img_h, img_w, 2] plus the
     device-resident (forward, backward) wire-dtype handles. With
     ``defer_backward`` / ``defer_forward`` the respective element is a
@@ -839,18 +906,30 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
     next (the s2 LAFC scans, which consume the device handles directly).
     """
     pairs = n - 1
+    total = 2 * pairs
     s_f = np.arange(pairs, dtype=np.int32)
     d_f = np.arange(1, pairs + 1, dtype=np.int32)
-    chunk = max(1, min(chunk, 2 * pairs))
     # BOTH directions ride one scan program: the GRU refinement is
     # latency-bound (docs/raft_trace_r04.md), so batching fwd+bwd pairs
     # into the same scan steps halves the sequential iteration depth
     # whenever the chunk budget covers them (it does with the bf16
-    # pyramid at bench scale: 46 pairs in one step)
+    # pyramid + Pallas lookup at bench scale: 46 pairs in one step)
     src = np.concatenate([s_f, d_f])
     dst = np.concatenate([d_f, s_f])
-    idx = np.stack([_scan_chunks(src, chunk),
-                    _scan_chunks(dst, chunk)], axis=1)   # [K, 2, B]
+
+    corr_item = (2 if getattr(models.raft_cfg, "corr_dtype", "float32")
+                 != "float32" else 4)
+
+    def _auto(pl: bool) -> int:
+        return auto_raft_chunk(total, flow_h, flow_w,
+                               corr_itemsize=corr_item, pallas_lookup=pl,
+                               radius=models.raft_cfg.corr_radius,
+                               levels=models.raft_cfg.corr_levels)
+
+    def _mk_idx(c: int) -> np.ndarray:
+        c = max(1, min(c, total))
+        return np.stack([_scan_chunks(src, c),
+                         _scan_chunks(dst, c)], axis=1)   # [K, 2, B]
 
     # Pallas VMEM correlation lookup (cuts the HBM-bound pyramid gather):
     # on under "on"; under "auto" only where the compile guard says this
@@ -863,18 +942,34 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
     elif mode == "off" or models.mesh is not None:
         use_pl = False
     else:
+        # decide with the PALLAS-budgeted chunk: the guard signature
+        # embeds the idx shape, which depends on the chunk, which depends
+        # on the path — probe the signature the pallas path would run
+        c_pl = chunk if chunk is not None else _auto(True)
         sig = raft_scan_signature(
             models.raft_cfg, str(models.dtype), tuple(video_u8_dev.shape),
-            tuple(idx.shape), iters, (img_h, img_w), (flow_h, flow_w),
-            wire=np.dtype(models.wire_np).name)
+            tuple(_mk_idx(c_pl).shape), iters, (img_h, img_w),
+            (flow_h, flow_w), wire=np.dtype(models.wire_np).name)
         use_pl = pg._platform() == "tpu" and pg.allowed(sig, "raft pallas "
                                                              "lookup")
+    min_chunk = max(1, getattr(models, "dp_size", 1))
+    if chunk is None:
+        chunk = _auto(use_pl)
+        logger.info("auto raft_chunk=%d (%s lookup) for %dx%d", chunk,
+                    "pallas" if use_pl else "xla", flow_w, flow_h)
+    chunk = max(min_chunk, min(chunk, total))
     # encode ONCE; the merged scan reuses the device-resident features
     fmap, fnet_, finp = models.raft_encode_fn(
         models.raft_vars, video_u8_dev, flow_h, flow_w, RAFT_ENCODE_CHUNK)
-    fn = models.raft_scan(use_pl)
-    out = fn(models.raft_vars, fmap, fnet_, finp,
-             models.shard_scan_ids(idx, axis=2), iters, img_h, img_w)
+
+    def _dispatch(c: int):
+        fn = models.raft_scan(use_pl)
+        return fn(models.raft_vars, fmap, fnet_, finp,
+                  models.shard_scan_ids(_mk_idx(c), axis=2), iters,
+                  img_h, img_w)
+
+    out, chunk = _chunk_backoff(_dispatch, chunk, "s1_raft_scan",
+                                min_chunk=min_chunk)
     out_f = out[:pairs]
     out_b = out[pairs:2 * pairs]
     # start the D2H streams without blocking: the transfers ride the
@@ -931,11 +1026,8 @@ def complete_flows_scan_dispatch(models: Models, flows: np.ndarray,
         diffused_dev = models.diffuse_fn(flows_dev, masks_dev)
         ids = np.asarray([indices_gen(i, interval, num_flows, t)
                           for i in range(t)], np.int32)
-        chunk = max(1, min(chunk, t))
-        ids_k = _scan_chunks(ids, chunk)
-        out = models.lafc_scan_fn(models.lafc_vars, diffused_dev, masks_dev,
-                                  flows_dev,
-                                  models.shard_scan_ids(ids_k, axis=1))
+        out = _lafc_dispatch(models, diffused_dev, masks_dev, flows_dev,
+                             ids, max(1, min(chunk, t)))
         return (out[:t], flows, hole_idx, idx_dev)
 
     if callable(flows):  # host-diffusion path solves on host: resolve now
@@ -968,12 +1060,23 @@ def complete_flows_scan_dispatch(models: Models, flows: np.ndarray,
 
     ids = np.asarray([indices_gen(i, interval, num_flows, t)
                       for i in range(t)], np.int32)          # [t, T]
-    chunk = max(1, min(chunk, t))
-    ids_k = _scan_chunks(ids, chunk)                          # [K, B, T]
-    out = models.lafc_scan_fn(models.lafc_vars, diffused_dev, masks_dev,
-                              flows_dev,
-                              models.shard_scan_ids(ids_k, axis=1))
+    out = _lafc_dispatch(models, diffused_dev, masks_dev, flows_dev,
+                         ids, max(1, min(chunk, t)))
     return (out[:t], flows, hole_idx, idx_dev)
+
+
+def _lafc_dispatch(models: Models, diffused_dev, masks_dev, flows_dev,
+                   ids: np.ndarray, chunk: int):
+    """Dispatch the LAFC window scan with OOM chunk backoff."""
+    def _d(c):
+        ids_k = _scan_chunks(ids, max(1, min(c, ids.shape[0])))
+        return models.lafc_scan_fn(models.lafc_vars, diffused_dev,
+                                   masks_dev, flows_dev,
+                                   models.shard_scan_ids(ids_k, axis=1))
+
+    out, _ = _chunk_backoff(_d, chunk, "s2_lafc_scan",
+                            min_chunk=max(1, getattr(models, "dp_size", 1)))
+    return out
 
 
 def complete_flows_scan_collect(models: Models, state):
@@ -1071,10 +1174,18 @@ def fgt_synthesis_scan(models: Models, frames: np.ndarray, masks: np.ndarray,
         use_flash = pg.allowed(sig, "flash attention")
     elif use_flash:
         use_flash = False     # sharded variant unprobed -> XLA path
-    with models.mesh_scope():
-        comp = models.fgt_scan(use_flash)(
-            models.fgt_vars, video_u8, masks_u8, flows_dev,
-            models.shard_scan_ids(ids_k, axis=1), np.int32(w_total), t_n)
+
+    def _dispatch(wb):
+        ids_w = _scan_chunks(ids_mat, max(1, min(wb, w_total)))
+        with models.mesh_scope():
+            return models.fgt_scan(use_flash)(
+                models.fgt_vars, video_u8, masks_u8, flows_dev,
+                models.shard_scan_ids(ids_w, axis=1), np.int32(w_total),
+                t_n)
+
+    comp, _ = _chunk_backoff(_dispatch, window_batch, "s6_fgt_scan",
+                             min_chunk=max(1, getattr(models, "dp_size",
+                                                      1)))
     if packed:
         vals = _fetch(models.gather_holes_fn(comp, midx_dev))
         out = video_u8_np.reshape(-1, 3).copy()
@@ -1527,6 +1638,7 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     enable_compilation_cache()
     retain_heap()   # slow-first-touch host: fault the heap once, recycle
     timer = StageTimer()
+    backoffs_at_start = len(BACKOFFS)
     LEDGER.reset()
     if getattr(args, "costs", False):
         os.environ["FGT_COSTS"] = "1"
@@ -1577,17 +1689,21 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
     # budgeted, not latency-tuned: with the encoders hoisted out of the
     # scan (shared encoding) the refinement loop is latency-bound and
     # wants the widest batch the correlation pyramid allows.
+    # None -> calculate_flows_scan sizes the pair batch for the lookup
+    # path it actually selects (Pallas vs XLA footprints differ ~2x);
+    # the chunked/Nonlocal paths below always run the XLA lookup, so
+    # their auto chunk uses the XLA budget
     raft_chunk = getattr(args, "raft_chunk", None)
-    if raft_chunk is None:
-        # the merged scan batches BOTH directions' pairs: 2*(n-1) items
+    chunked = bool(getattr(args, "chunked_dispatch", False))
+    if raft_chunk is None and (chunked or getattr(args, "Nonlocal", False)):
         raft_chunk = auto_raft_chunk(
             2 * (n_frames - 1), flow_h, flow_w,
             corr_itemsize=2 if models.raft_cfg.corr_dtype != "float32"
-            else 4)
+            else 4, pallas_lookup=False)
         logger.info("auto raft_chunk=%d for %dx%d", raft_chunk, flow_w,
                     flow_h)
-    raft_chunk = max(raft_chunk, ndev)
-    chunked = bool(getattr(args, "chunked_dispatch", False))
+    if raft_chunk is not None:
+        raft_chunk = max(raft_chunk, ndev)
     flows_dev_f = flows_dev_b = None
     video_u8_base = video_u8_dev = None
     with timer.stage("s1_raft"):
@@ -1800,7 +1916,8 @@ def video_inpainting(args, models: Optional[Models] = None) -> str:
                 name, row["flops"] / 1e12, row.get("tflops_per_s", 0.0),
                 100 * row["mfu"], 100 * row.get("hbm_util", 0.0))
     timer.dump(os.path.join(args.outroot, "timings.jsonl"),
-               n_frames=n_frames, mode=args.mode, costs=costs)
+               n_frames=n_frames, mode=args.mode, costs=costs,
+               backoffs=[list(b) for b in BACKOFFS[backoffs_at_start:]])
     logger.info("Done, please check your result in %s", args.outroot)
     return out_path
 

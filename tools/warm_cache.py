@@ -58,10 +58,14 @@ def plan(args):
 
     from fgt_tpu.pipeline.video_inpainting import auto_raft_chunk
     corr_dtype = "bfloat16" if args.bf16 else "float32"
+    # pallas_lookup=True: this tool warms the PALLAS scan program, and the
+    # pipeline sizes that path's chunk with the pallas budget (the XLA
+    # fallback uses a smaller chunk and needs no warming)
     raft_chunk = (args.raft_chunk if args.raft_chunk is not None
                   else auto_raft_chunk(
                       2 * (n - 1), flow_h, flow_w,
-                      corr_itemsize=2 if corr_dtype != "float32" else 4))
+                      corr_itemsize=2 if corr_dtype != "float32" else 4,
+                      pallas_lookup=True))
     # ONE scan program for both directions (pipeline batches fwd+bwd
     # pairs into the same scan steps), so the idx covers 2*(n-1) pairs
     pairs = 2 * (n - 1)
