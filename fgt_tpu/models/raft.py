@@ -55,6 +55,10 @@ class RAFTConfig:
     # only storage + lookup taps carry bf16 (~2^-8 relative, same
     # regime as bf16 activations). f32 default keeps parity paths exact.
     corr_dtype: str = "float32"
+    # pair batches wider than this build the all-pairs pyramid chunk-wise
+    # (bounds the f32 construction transient — 2 * chunk * (HW)^2 * 4
+    # bytes — independent of the refine batch; see build_corr_pyramid)
+    corr_build_chunk: int = 8
 
     def __post_init__(self):
         if self.small:
@@ -175,21 +179,54 @@ class SmallEncoder(nn.Module):
 # ---------------- correlation pyramid ----------------
 
 def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
-                       num_levels: int = 4) -> list[jnp.ndarray]:
+                       num_levels: int = 4, dtype=None,
+                       build_chunk: int = 0) -> list[jnp.ndarray]:
     """All-pairs correlation + average pooling (reference corr.py:12-27).
 
     fmaps: [B, H, W, C] -> list of [B*H*W, H_i, W_i] volumes.
-    """
+
+    ``dtype`` is the STORAGE dtype (pooling always runs in the f32
+    einsum output; RAFTConfig.corr_dtype="bfloat16" halves the resident
+    pyramid). ``build_chunk`` bounds the construction transient: the f32
+    all-pairs einsum output (plus the layout copy XLA inserts before the
+    scale) is 2 * B * (HW)^2 * 4 bytes when built in one shot — 17.9 GB
+    at the 46-pair bench batch, the round-5 warm-probe OOM — so batches
+    wider than ``build_chunk`` build the pyramid per pair-chunk under
+    ``lax.map`` (bit-identical per pair; the einsum is sequenced, which
+    costs microseconds against the 20-iteration GRU loop it feeds)."""
     B, H, W, C = fmap1.shape
-    corr = jnp.einsum("bxyc,buvc->bxyuv", fmap1, fmap2,
-                      preferred_element_type=jnp.float32)
-    corr = corr / jnp.sqrt(jnp.asarray(C, corr.dtype))
-    corr = corr.reshape(B * H * W, H, W)
-    pyramid = [corr]
-    for _ in range(num_levels - 1):
-        corr = nn.avg_pool(corr[..., None], (2, 2), strides=(2, 2))[..., 0]
-        pyramid.append(corr)
-    return pyramid
+
+    def build(f1, f2):
+        b = f1.shape[0]
+        corr = jnp.einsum("bxyc,buvc->bxyuv", f1, f2,
+                          preferred_element_type=jnp.float32)
+        corr = corr / jnp.sqrt(jnp.asarray(C, corr.dtype))
+        corr = corr.reshape(b * H * W, H, W)
+        pyr = [corr if dtype is None else corr.astype(dtype)]
+        for _ in range(num_levels - 1):
+            corr = nn.avg_pool(corr[..., None], (2, 2),
+                               strides=(2, 2))[..., 0]
+            pyr.append(corr if dtype is None else corr.astype(dtype))
+        return tuple(pyr)
+
+    if not build_chunk or B <= build_chunk:
+        return list(build(fmap1, fmap2))
+    k = -(-B // build_chunk)
+    pad = k * build_chunk - B
+
+    def padded(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:],
+                                              a.dtype)], axis=0)
+        return a.reshape(k, build_chunk, H, W, C)
+
+    levels = jax.lax.map(lambda ab: build(ab[0], ab[1]),
+                         (padded(fmap1), padded(fmap2)))
+    out = []
+    for lv in levels:                     # [k, chunk*H*W, H_i, W_i]
+        hi, wi = lv.shape[2:]
+        out.append(lv.reshape(k * build_chunk * H * W, hi, wi)[:B * H * W])
+    return out
 
 
 def lookup_corr_pyramid(pyramid: list[jnp.ndarray], coords: jnp.ndarray,
@@ -585,12 +622,15 @@ class RAFT(nn.Module):
         if cfg.alternate_corr:
             pyramid = build_fmap_pyramid(fmap2, cfg.corr_levels)
         else:
-            pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
-            if cfg.corr_dtype != "float32":
-                # pool in f32 (above), store narrow: the pyramid only
-                # feeds the (2r+1)^2 bilinear taps, whose inputs the
-                # bf16 update block consumes at bf16 anyway
-                pyramid = [c.astype(cfg.corr_dtype) for c in pyramid]
+            # pooling runs in f32; storage follows corr_dtype (narrow
+            # taps feed the bf16 update block anyway); construction is
+            # chunked so the f32 all-pairs transient stays bounded at
+            # wide refine batches
+            pyramid = build_corr_pyramid(
+                fmap1, fmap2, cfg.corr_levels,
+                dtype=(None if cfg.corr_dtype == "float32"
+                       else cfg.corr_dtype),
+                build_chunk=getattr(cfg, "corr_build_chunk", 8))
 
         B, H8, W8, _ = fmap1.shape
         coords0 = coords_grid(B, H8, W8)

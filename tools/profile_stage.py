@@ -170,6 +170,48 @@ def run_raft(args) -> str:
     return args.out
 
 
+def run_fgt_infer(args) -> str:
+    """Trace one warm s6 fgt_synthesis_scan at bench shape (VERDICT r4 #4:
+    why did inference NOT inherit the cell fold/unfold win the train step
+    got). Uses the same packed-wire device path the pipeline runs."""
+    import jax
+    import numpy as np
+
+    from fgt_tpu.pipeline.video_inpainting import (Models, _put,
+                                                   build_parser,
+                                                   fgt_synthesis_scan)
+    from fgt_tpu.utils.profiling import maybe_trace
+
+    vid, masks = _bench_video(args.frames, args.imgH, args.imgW)
+    margs = build_parser().parse_args(
+        ["--imgH", str(args.imgH), "--imgW", str(args.imgW)])
+    models = Models(margs)
+    rng = np.random.RandomState(0)
+    frames = vid.astype(np.float32) / 255.0
+    masks_np = (masks > 127).astype(np.float32)[..., None]
+    # post-Poisson-like content inside the hole
+    frames[masks_np[..., 0] > 0] = rng.rand(
+        int((masks_np > 0).sum()), 3).astype(np.float32)
+    flows = rng.randn(args.frames - 1, args.imgH, args.imgW, 2).astype(
+        np.float32)
+    flows_dev = _put(flows.astype(models.wire_np))
+    base_dev = _put(vid)
+    wb = args.batch or 6
+
+    def once():
+        out = fgt_synthesis_scan(models, frames, masks_np, flows,
+                                 flows_dev, neighbor_stride=5, step=10,
+                                 window_batch=wb, base_u8=vid,
+                                 base_u8_dev=base_dev)
+        return out
+
+    once()  # compile + tunnel warm
+    once()
+    with maybe_trace(args.out, enabled=True):
+        once()
+    return args.out
+
+
 def run_train(args, which: str) -> str:
     """Trace one warm jitted train step at reference dims (the same
     step programs bench_train measures)."""
@@ -269,7 +311,8 @@ def run_train(args, which: str) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="raft",
-                    choices=["raft", "fgt_train", "lafc_train"])
+                    choices=["raft", "fgt_infer", "fgt_train",
+                             "lafc_train"])
     ap.add_argument("--parse", default="",
                     help="only parse an existing trace dir")
     ap.add_argument("--frames", type=int, default=24)
@@ -291,6 +334,8 @@ def main():
         args.out = args.out or f"/tmp/fgt_trace_{args.stage}"
         if args.stage == "raft":
             trace_dir = run_raft(args)
+        elif args.stage == "fgt_infer":
+            trace_dir = run_fgt_infer(args)
         else:
             trace_dir = run_train(args, args.stage)
         summary = parse_trace(trace_dir, args.top)
