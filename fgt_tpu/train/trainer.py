@@ -204,6 +204,10 @@ class Trainer:
                     scalars = {k: float(v) for k, v in metrics.items()}
                     scalars["it_per_s"] = log_freq / max(time.time() - t0,
                                                          1e-9)
+                    if getattr(self, "sched", None) is not None:
+                        # the reference logs the LR each print (network.py
+                        # :159-182); also makes StepLR decay auditable
+                        scalars["lr"] = float(self.sched(self.current_step))
                     t0 = time.time()
                     if run_n >= record_iter:
                         run_sum, run_n = {}, 0
@@ -267,6 +271,7 @@ class LAFCTrainer(Trainer):
             float(tr["lr"]), decay_interval=int(tr["UPDATE_INTERVAL"]),
             gamma=float(tr.get("lr_decay", 0.1)),
             warmup=tr.get("WARMUP"), world_size=self.world_size)
+        self.sched = sched
         self.tx = make_adam(sched, beta1=float(tr.get("BETA1", 0.9)),
                             beta2=float(tr.get("BETA2", 0.999)),
                             grad_clip=10.0 if opt.get("gc") else None)
@@ -415,6 +420,7 @@ class FGTTrainer(Trainer):
             float(tr["lr"]), decay_interval=int(tr["UPDATE_INTERVAL"]),
             gamma=float(tr.get("lr_decay", 0.1)), warmup=tr.get("WARMUP"),
             world_size=self.world_size)
+        self.sched = sched
         self.g_tx = make_adam(sched, beta1=float(tr.get("BETA1", 0.9)),
                               beta2=float(tr.get("BETA2", 0.999)))
         self.d_tx = make_adam(sched, beta1=float(tr.get("BETA1", 0.9)),
