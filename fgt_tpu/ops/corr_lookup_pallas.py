@@ -107,6 +107,18 @@ def lookup_corr_pyramid_pallas(pyramid, coords: jnp.ndarray, radius: int,
     pyramid: list of [N, H_i, W_i] volumes; coords: [B, H, W, 2] level-0
     (x, y). Returns [B, H, W, levels*(2r+1)^2]. On non-TPU backends the
     kernel runs in interpreter mode (tests / CPU meshes).
+
+    Band pre-slice (round 5): each pixel's taps live in a
+    P_y = 2r+2 row band of its own correlation map, so the kernel is fed
+    a per-pixel [P_y, W_i] band (one contiguous dynamic-slice DMA per
+    pixel — the same row-band trick the XLA path uses) with LOCAL y
+    coordinates instead of the full [H_i, W_i] map. At level 0 of the
+    bench shape this cuts the per-iteration volume read from 3.86 GB to
+    0.64 GB; the round-4 full-map kernel measured ~0.88 s of the 20
+    refine iterations' device time on lookups alone. Numerics are
+    unchanged: sy = clip(floor(cy)-r, 0, H-P_y) always covers every
+    globally-valid tap, and out-of-band taps are exactly the
+    out-of-image taps the weights already zero.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -116,8 +128,17 @@ def lookup_corr_pyramid_pallas(pyramid, coords: jnp.ndarray, radius: int,
     flat = coords.reshape(N, 2)                     # [N, 2] (cx, cy)
     outs = []
     for i, vol in enumerate(pyramid):
+        Hi, Wi = vol.shape[1:]
+        P_y = min(2 * radius + 2, Hi)
         cxy = flat / (2 ** i)
-        outs.append(lookup_level_pallas(vol, cxy, radius,
-                                        interpret=interpret))
+        cy = cxy[:, 1]
+        sy = jnp.clip(jnp.floor(cy) - radius, 0, Hi - P_y)
+        syi = sy.astype(jnp.int32)
+        band = jax.vmap(
+            lambda v, a: jax.lax.dynamic_slice(v, (a, 0), (P_y, Wi))
+        )(vol, syi)                                 # [N, P_y, W_i]
+        local = jnp.stack([cxy[:, 0], cy - sy.astype(cy.dtype)], axis=-1)
+        outs.append(lookup_level_pallas(band, local, radius,
+                                        block_n=128, interpret=interpret))
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(B, H, W, len(pyramid) * k * k)

@@ -791,7 +791,7 @@ RAFT_ENCODE_CHUNK = 8
 
 
 def auto_raft_chunk(pairs: int, flow_h: int, flow_w: int,
-                    budget_bytes: int = 6 << 30,
+                    budget_bytes: int | None = None,
                     corr_itemsize: int = 4,
                     pallas_lookup: bool = False,
                     radius: int = 4, levels: int = 4) -> int:
@@ -817,19 +817,30 @@ def auto_raft_chunk(pairs: int, flow_h: int, flow_w: int,
     pairs/step for the Pallas path (both directions' 46 pairs in ONE
     scan step — the config measured at 4.87 fps in round 4) and ~23 for
     the XLA path (the chunk that ran green in BENCH_r03.json), vs the
-    46-for-both round-4 model that planned 11+ GB of HLO temps."""
+    46-for-both round-4 model that planned 11+ GB of HLO temps.
+
+    Per-path default budgets: the pallas path's live set is precisely
+    modeled (pyramid + band + taps), so it gets 8 GiB of the ~11.5 GiB
+    usable after the bounded pyramid-build transient; the XLA path's
+    one-hot temporaries are fuzzier (layout-dependent), so it keeps the
+    conservative 6 GiB that chunk 23 is proven green under."""
     n_tok = (flow_h // 8) * (flow_w // 8)
     pyramid = n_tok * n_tok * corr_itemsize * 4 // 3   # 4/3 pyramid sum
     k = 2 * radius + 1
     p_y = 2 * radius + 2
+    w0 = max(1, flow_w // 8)
     taps = levels * k * k * 4 * 2                      # taps + concat copy
     if pallas_lookup:
-        extra = n_tok * taps
+        # level-0 band (slice + kernel input) dominates the per-iteration
+        # extra; deeper levels add ~50%
+        band = 3 * p_y * w0 * corr_itemsize
+        extra = n_tok * (taps + band)
+        budget = budget_bytes if budget_bytes is not None else 8 << 30
     else:
-        w0 = max(1, flow_w // 8)
         extra = n_tok * (((p_y + 4 * k) * w0 + 3 * k * p_y) * 4 + taps)
+        budget = budget_bytes if budget_bytes is not None else 6 << 30
     per_pair = pyramid + extra
-    return max(1, min(pairs, int(budget_bytes // max(per_pair, 1))))
+    return max(1, min(pairs, int(budget // max(per_pair, 1))))
 
 
 def _is_oom(e: BaseException) -> bool:
