@@ -831,10 +831,9 @@ def auto_raft_chunk(pairs: int, flow_h: int, flow_w: int,
     w0 = max(1, flow_w // 8)
     taps = levels * k * k * 4 * 2                      # taps + concat copy
     if pallas_lookup:
-        # level-0 band (slice + kernel input) dominates the per-iteration
-        # extra; deeper levels add ~50%
-        band = 3 * p_y * w0 * corr_itemsize
-        extra = n_tok * (taps + band)
+        # the full-map VMEM kernel streams the pyramid in place — its only
+        # HBM temporaries are the taps (+ their concat copy)
+        extra = n_tok * taps
         budget = budget_bytes if budget_bytes is not None else 8 << 30
     else:
         extra = n_tok * (((p_y + 4 * k) * w0 + 3 * k * p_y) * 4 + taps)

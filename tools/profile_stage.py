@@ -151,7 +151,8 @@ def run_raft(args) -> str:
     flow_h = args.imgH * 2 if args.imgH < 350 else args.imgH
     flow_w = args.imgW * 2 if args.imgH < 350 else args.imgW
     margs = build_parser().parse_args(
-        ["--imgH", str(args.imgH), "--imgW", str(args.imgW)])
+        ["--imgH", str(args.imgH), "--imgW", str(args.imgW),
+         "--pallas_lookup", args.pallas_lookup])
     models = Models(margs)
     vid_dev = _put(vid)
     n = vid.shape[0]
@@ -323,6 +324,11 @@ def main():
     ap.add_argument("--out", default="")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--json", default="", help="write summary JSON here")
+    ap.add_argument("--pallas_lookup", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="raft stage: force the corr-lookup path so the "
+                         "trace matches the path the bench actually took "
+                         "(the guard registry is per-process)")
     args = ap.parse_args()
 
     if args.parse:
