@@ -47,6 +47,15 @@ class RAFTConfig:
     # volume itself). Opt-in: Mosaic compiles hang over this image's
     # remote-compile tunnel, so it cannot be the default here.
     pallas_lookup: bool = False
+    # fused on-the-fly correlation (ops/corr_fused_pallas): never builds
+    # the all-pairs pyramid — each GRU iteration recomputes its taps from
+    # the VMEM-resident fmap2 on the MXU. Removes the pyramid's ~10 GB
+    # HBM footprint AND the per-iteration volume streaming that dominates
+    # the refine scan's device time (docs/raft_trace_r05.md). Same
+    # opt-in/guard story as pallas_lookup. Takes precedence over
+    # pallas_lookup; alternate_corr (the reference-contract chunked XLA
+    # path) wins over both.
+    fused_corr: bool = False
     # storage dtype of the correlation pyramid. The all-pairs volume is
     # the dominant HBM term of the flow stage (~224 MB/pair f32 at
     # 864x480 flows); "bfloat16" halves it, doubling the pair batch that
@@ -621,6 +630,15 @@ class RAFT(nn.Module):
         fmap2 = fmap2.astype(jnp.float32)
         if cfg.alternate_corr:
             pyramid = build_fmap_pyramid(fmap2, cfg.corr_levels)
+        elif cfg.fused_corr:
+            from fgt_tpu.ops.corr_fused_pallas import pad_fmap_pyramid
+
+            # padded + cast ONCE per refine call, outside the GRU loop;
+            # the kernel recomputes correlations from these features
+            pyramid = pad_fmap_pyramid(
+                build_fmap_pyramid(fmap2, cfg.corr_levels),
+                dtype=(None if cfg.corr_dtype == "float32"
+                       else cfg.corr_dtype))
         else:
             # pooling runs in f32; storage follows corr_dtype (narrow
             # taps feed the bf16 update block anyway); construction is
@@ -642,6 +660,11 @@ class RAFT(nn.Module):
                 corr = lookup_corr_alternate(fmap1, pyramid, coords1,
                                              cfg.corr_radius,
                                              chunk=cfg.corr_chunk)
+            elif cfg.fused_corr:
+                from fgt_tpu.ops.corr_fused_pallas import lookup_corr_fused
+
+                corr = lookup_corr_fused(fmap1, pyramid, coords1,
+                                         cfg.corr_radius)
             elif cfg.pallas_lookup:
                 from fgt_tpu.ops.corr_lookup_pallas import \
                     lookup_corr_pyramid_pallas

@@ -218,6 +218,7 @@ class Models:
         # flash attention only where the guard says compiling is safe
         # (tools/warm_cache.py records known-good shapes)
         self.pallas_lookup_mode = getattr(args, "pallas_lookup", "auto")
+        self.fused_corr_mode = getattr(args, "fused_corr", "auto")
         self._variant_cache: dict = {}
         self._jit_cache: dict = {}
         dummy = jnp.zeros((1, 64, 64, 3))
@@ -476,17 +477,22 @@ class Models:
     # device-side lax.scan, so each stage is ONE dispatch + ONE fetch and
     # the chip never waits on the host (or the tunnel) between chunks.
 
-    def raft_variant(self, pallas_lookup: bool):
-        """RAFT module with/without the Pallas VMEM correlation lookup
-        (same params; the lookup is a pure compute-path choice)."""
-        if not pallas_lookup:
+    def raft_variant(self, lookup):
+        """RAFT module with the requested correlation-lookup backend
+        ("xla" | "pallas" | "fused"; bools accepted for the legacy
+        pallas on/off callers). Same params; the lookup is a pure
+        compute-path choice."""
+        if isinstance(lookup, bool):
+            lookup = "pallas" if lookup else "xla"
+        if lookup == "xla":
             return self.raft
-        key = ("raft", True)
+        key = ("raft", lookup)
         if key not in self._variant_cache:
             import dataclasses
 
-            self._variant_cache[key] = raft_mod.RAFT(
-                dataclasses.replace(self.raft_cfg, pallas_lookup=True))
+            self._variant_cache[key] = raft_mod.RAFT(dataclasses.replace(
+                self.raft_cfg, pallas_lookup=lookup == "pallas",
+                fused_corr=lookup == "fused"))
         return self._variant_cache[key]
 
     def fgt_variant(self, use_flash: bool):
@@ -536,11 +542,13 @@ class Models:
                 lambda a: a.reshape((k * chunk,) + a.shape[2:])[:n], feats)
         return costed(run, "raft_encode_fn")
 
-    def raft_scan(self, pallas_lookup: bool = False):
-        key = ("raft_scan", pallas_lookup)
+    def raft_scan(self, lookup="xla"):
+        if isinstance(lookup, bool):   # legacy pallas on/off callers
+            lookup = "pallas" if lookup else "xla"
+        key = ("raft_scan", lookup)
         if key in self._jit_cache:
             return self._jit_cache[key]
-        raft = self.raft_variant(pallas_lookup)
+        raft = self.raft_variant(lookup)
 
         @functools.partial(jax.jit, static_argnums=(5, 6, 7))
         def run(variables, fmap, net, inp, idx, iters, out_h, out_w):
@@ -572,7 +580,8 @@ class Models:
                 _, flows = jax.lax.scan(body, None, idx)
             return flows.reshape(-1, out_h, out_w, 2)
 
-        fn = costed(run, "raft_scan_fn" + ("_pl" if pallas_lookup else ""))
+        fn = costed(run, "raft_scan_fn" + {"xla": "", "pallas": "_pl",
+                                           "fused": "_fc"}[lookup])
         self._jit_cache[key] = fn
         return fn
 
@@ -794,7 +803,8 @@ def auto_raft_chunk(pairs: int, flow_h: int, flow_w: int,
                     budget_bytes: int | None = None,
                     corr_itemsize: int = 4,
                     pallas_lookup: bool = False,
-                    radius: int = 4, levels: int = 4) -> int:
+                    radius: int = 4, levels: int = 4,
+                    fused: bool = False) -> int:
     """Widest per-scan-step pair batch whose refine-program live set fits
     the HBM budget. The GRU refinement is latency-bound — sequential
     small-spatial iterations (docs/raft_trace_r04.md) — so the batch must
@@ -830,7 +840,14 @@ def auto_raft_chunk(pairs: int, flow_h: int, flow_w: int,
     p_y = 2 * radius + 2
     w0 = max(1, flow_w // 8)
     taps = levels * k * k * 4 * 2                      # taps + concat copy
-    if pallas_lookup:
+    if fused:
+        # no pyramid at all: HBM carries the taps (+ concat copy) and the
+        # update block's per-iteration activations (~4 KB/token live set,
+        # generous); the fmap pyramids are per-FRAME, not per-pair
+        extra = n_tok * (taps + 4096)
+        budget = budget_bytes if budget_bytes is not None else 8 << 30
+        pyramid = 0
+    elif pallas_lookup:
         # the full-map VMEM kernel streams the pyramid in place — its only
         # HBM temporaries are the taps (+ their concat copy)
         extra = n_tok * taps
@@ -930,9 +947,11 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
     corr_item = (2 if getattr(models.raft_cfg, "corr_dtype", "float32")
                  != "float32" else 4)
 
-    def _auto(pl: bool) -> int:
+    def _auto(lk: str) -> int:
         return auto_raft_chunk(total, flow_h, flow_w,
-                               corr_itemsize=corr_item, pallas_lookup=pl,
+                               corr_itemsize=corr_item,
+                               pallas_lookup=lk == "pallas",
+                               fused=lk == "fused",
                                radius=models.raft_cfg.corr_radius,
                                levels=models.raft_cfg.corr_levels)
 
@@ -941,39 +960,53 @@ def calculate_flows_scan(models: Models, video_u8_dev: jax.Array,
         return np.stack([_scan_chunks(src, c),
                          _scan_chunks(dst, c)], axis=1)   # [K, 2, B]
 
-    # Pallas VMEM correlation lookup (cuts the HBM-bound pyramid gather):
-    # on under "on"; under "auto" only where the compile guard says this
-    # shape is known-safe on this host (Mosaic hang risk over the tunnel)
+    # correlation-lookup backend: fused (no pyramid — the preferred TPU
+    # path) > pallas pyramid lookup > XLA one-hot lookup. "on" forces the
+    # respective kernel; under "auto" a Pallas path runs only where the
+    # compile guard says this shape is known-safe on this host (Mosaic
+    # hang risk over the tunnel). The guard signature embeds the idx
+    # shape, which depends on the chunk, which depends on the path — so
+    # each path is probed with ITS OWN budgeted chunk.
     from fgt_tpu.utils import pallas_guard as pg
 
-    mode = models.pallas_lookup_mode
-    if mode == "on":
-        use_pl = True
-    elif mode == "off" or models.mesh is not None:
-        use_pl = False
-    else:
-        # decide with the PALLAS-budgeted chunk: the guard signature
-        # embeds the idx shape, which depends on the chunk, which depends
-        # on the path — probe the signature the pallas path would run
-        c_pl = chunk if chunk is not None else _auto(True)
-        sig = raft_scan_signature(
+    def _sig(lk: str):
+        c = chunk if chunk is not None else _auto(lk)
+        return raft_scan_signature(
             models.raft_cfg, str(models.dtype), tuple(video_u8_dev.shape),
-            tuple(_mk_idx(c_pl).shape), iters, (img_h, img_w),
-            (flow_h, flow_w), wire=np.dtype(models.wire_np).name)
-        use_pl = pg._platform() == "tpu" and pg.allowed(sig, "raft pallas "
-                                                             "lookup")
+            tuple(_mk_idx(c).shape), iters, (img_h, img_w),
+            (flow_h, flow_w), wire=np.dtype(models.wire_np).name,
+            lookup=lk)
+
+    fmode = getattr(models, "fused_corr_mode", "auto")
+    pmode = models.pallas_lookup_mode
+    if models.mesh is not None or models.raft_cfg.alternate_corr:
+        lookup = "xla"
+    elif fmode == "on":
+        lookup = "fused"
+    elif pmode == "on":
+        lookup = "pallas"
+    elif pg._platform() != "tpu":
+        lookup = "xla"
+    elif fmode == "auto" and pg.allowed(_sig("fused"),
+                                        "raft fused corr"):
+        lookup = "fused"
+    elif pmode == "auto" and pg.allowed(_sig("pallas"),
+                                        "raft pallas lookup"):
+        lookup = "pallas"
+    else:
+        lookup = "xla"
     min_chunk = max(1, getattr(models, "dp_size", 1))
     if chunk is None:
-        chunk = _auto(use_pl)
+        chunk = _auto(lookup)
         logger.info("auto raft_chunk=%d (%s lookup) for %dx%d", chunk,
-                    "pallas" if use_pl else "xla", flow_w, flow_h)
+                    lookup, flow_w, flow_h)
     chunk = max(min_chunk, min(chunk, total))
     # encode ONCE; the merged scan reuses the device-resident features
     fmap, fnet_, finp = models.raft_encode_fn(
         models.raft_vars, video_u8_dev, flow_h, flow_w, RAFT_ENCODE_CHUNK)
 
     def _dispatch(c: int):
-        fn = models.raft_scan(use_pl)
+        fn = models.raft_scan(lookup)
         return fn(models.raft_vars, fmap, fnet_, finp,
                   models.shard_scan_ids(_mk_idx(c), axis=2), iters,
                   img_h, img_w)
@@ -1245,20 +1278,25 @@ def fgt_scan_signature(fgt_config: dict, dtype: str, frames_shape,
 
 
 def raft_scan_signature(raft_cfg, dtype: str, vshape, idx_shape, iters,
-                        out_hw, flow_hw, wire: str = "float16"):
-    """Guard signature for the pallas-lookup RAFT scan program (pure).
+                        out_hw, flow_hw, wire: str = "float16",
+                        lookup: str = "pallas"):
+    """Guard signature for a Pallas-bearing RAFT scan program (pure).
     Kind "raft_scan_shared": the refine-only scan over precomputed frame
     features (round 4) — entries warmed for the old fused program must not
-    validate this one."""
+    validate this one. ``lookup`` distinguishes the round-5 fused-corr
+    program; "pallas" omits the key so pre-existing warm records stay
+    valid."""
     from fgt_tpu.utils import pallas_guard as pg
 
+    extra = {} if lookup == "pallas" else {"lookup": lookup}
     return pg.signature("raft_scan_shared", vshape=tuple(vshape),
                         idx=tuple(idx_shape), iters=iters,
                         out=tuple(out_hw), flow=tuple(flow_hw),
                         dtype=dtype, wire=pg.canonical_dtype(wire),
                         small=raft_cfg.small,
                         alt=raft_cfg.alternate_corr,
-                        corr=getattr(raft_cfg, "corr_dtype", "float32"))
+                        corr=getattr(raft_cfg, "corr_dtype", "float32"),
+                        **extra)
 
 
 def calculate_flows(models: Models, video: np.ndarray, mode: str,
@@ -2011,6 +2049,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernel: auto = on TPU only for shapes recorded "
                         "safe by tools/warm_cache.py (Mosaic compiles can "
                         "hang over remote tunnels); on/off force it")
+    p.add_argument("--fused_corr", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="fused on-the-fly RAFT correlation (no pyramid in "
+                        "HBM; ops/corr_fused_pallas). Preferred over "
+                        "--pallas_lookup when both are auto-eligible; "
+                        "same warm-cache guard discipline")
     p.add_argument("--chunked_dispatch", action="store_true",
                    help="round-2 dispatch mode: host loop over pipelined "
                         "per-chunk jit calls instead of the default "

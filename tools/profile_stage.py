@@ -152,7 +152,8 @@ def run_raft(args) -> str:
     flow_w = args.imgW * 2 if args.imgH < 350 else args.imgW
     margs = build_parser().parse_args(
         ["--imgH", str(args.imgH), "--imgW", str(args.imgW),
-         "--pallas_lookup", args.pallas_lookup])
+         "--pallas_lookup", args.pallas_lookup,
+         "--fused_corr", args.fused_corr])
     models = Models(margs)
     vid_dev = _put(vid)
     n = vid.shape[0]
@@ -329,6 +330,10 @@ def main():
                     help="raft stage: force the corr-lookup path so the "
                          "trace matches the path the bench actually took "
                          "(the guard registry is per-process)")
+    ap.add_argument("--fused_corr", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="raft stage: force/disable the fused on-the-fly "
+                         "correlation path (no pyramid in HBM)")
     args = ap.parse_args()
 
     if args.parse:

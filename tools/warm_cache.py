@@ -61,18 +61,24 @@ def plan(args):
     # pallas_lookup=True: this tool warms the PALLAS scan program, and the
     # pipeline sizes that path's chunk with the pallas budget (the XLA
     # fallback uses a smaller chunk and needs no warming)
-    raft_chunk = (args.raft_chunk if args.raft_chunk is not None
-                  else auto_raft_chunk(
-                      2 * (n - 1), flow_h, flow_w,
-                      corr_itemsize=2 if corr_dtype != "float32" else 4,
-                      pallas_lookup=True))
     # ONE scan program for both directions (pipeline batches fwd+bwd
-    # pairs into the same scan steps), so the idx covers 2*(n-1) pairs
+    # pairs into the same scan steps), so the idx covers 2*(n-1) pairs.
+    # Each lookup path gets its own budgeted chunk (and so idx shape).
     pairs = 2 * (n - 1)
     src = np.arange(pairs, dtype=np.int32)
-    c = max(1, min(raft_chunk, pairs))
-    idx_shape = (np.stack([_scan_chunks(src, c), _scan_chunks(src, c)],
-                          axis=1)).shape
+
+    def _idx_shape(fused: bool):
+        rc = (args.raft_chunk if args.raft_chunk is not None
+              else auto_raft_chunk(
+                  pairs, flow_h, flow_w,
+                  corr_itemsize=2 if corr_dtype != "float32" else 4,
+                  pallas_lookup=not fused, fused=fused))
+        c = max(1, min(rc, pairs))
+        return (np.stack([_scan_chunks(src, c), _scan_chunks(src, c)],
+                         axis=1)).shape
+
+    idx_shape = _idx_shape(False)
+    idx_shape_fused = _idx_shape(True)
 
     fgt_cfg = dict(DEFAULT_FGT_CONFIG)
     if args.fgt_ckpts and os.path.isdir(args.fgt_ckpts):
@@ -97,7 +103,8 @@ def plan(args):
             else "float32")   # mirror of pipeline wire_dtypes()
     return {
         "wire": wire,
-        "vshape": vshape, "idx_shape": idx_shape, "iters": args.raft_iters,
+        "vshape": vshape, "idx_shape": idx_shape,
+        "idx_shape_fused": idx_shape_fused, "iters": args.raft_iters,
         "out_hw": (img_h, img_w), "flow_hw": (flow_h, flow_w),
         "frames_shape": (n, img_h, img_w, 3),
         "ids_k_shape": ids_k_shape, "t_n": t_n,
@@ -125,6 +132,10 @@ def signatures(args, p):
              alternate_corr=bool(args.alternate_corr),
              corr_dtype="bfloat16" if args.bf16 else "float32")
     sigs = {}
+    if args.stage in ("all", "raft_fused"):
+        sigs["raft_fused"] = raft_scan_signature(
+            rc, p["dtype"], p["vshape"], p["idx_shape_fused"], p["iters"],
+            p["out_hw"], p["flow_hw"], wire=p["wire"], lookup="fused")
     if args.stage in ("all", "raft"):
         sigs["raft"] = raft_scan_signature(
             rc, p["dtype"], p["vshape"], p["idx_shape"], p["iters"],
@@ -161,8 +172,7 @@ def run_child(args):
     models = Models(pipe_args)
     sds = jax.ShapeDtypeStruct
 
-    if "raft" in sigs:
-        print(f"compiling raft_scan (pallas lookup) {p['vshape']} ...")
+    if "raft" in sigs or "raft_fused" in sigs:
         # mirror the shared-encoding split: refine-only scan over
         # precomputed 1/8-res features (calculate_flows_scan)
         n = p["vshape"][0]
@@ -170,15 +180,21 @@ def run_child(args):
         cfg = models.raft_cfg
         fdim = 128 if cfg.small else 256
         ft = models.dtype
-        fn = models.raft_scan(pallas_lookup=True)
-        fn.fn.lower(models.raft_vars,
-                    sds((n, h8, w8, fdim), ft),
-                    sds((n, h8, w8, cfg.hidden_dim), ft),
-                    sds((n, h8, w8, cfg.context_dim), ft),
-                    sds(p["idx_shape"], np.int32), p["iters"],
-                    *p["out_hw"]).compile()
-        pg.record(sigs["raft"], True)
-        print("  ok:", sigs["raft"])
+        for lk, sig_key, ishape in (("fused", "raft_fused",
+                                     p["idx_shape_fused"]),
+                                    ("pallas", "raft", p["idx_shape"])):
+            if sig_key not in sigs:
+                continue
+            print(f"compiling raft_scan ({lk} lookup) {p['vshape']} ...")
+            fn = models.raft_scan(lk)
+            fn.fn.lower(models.raft_vars,
+                        sds((n, h8, w8, fdim), ft),
+                        sds((n, h8, w8, cfg.hidden_dim), ft),
+                        sds((n, h8, w8, cfg.context_dim), ft),
+                        sds(ishape, np.int32), p["iters"],
+                        *p["out_hw"]).compile()
+            pg.record(sigs[sig_key], True)
+            print("  ok:", sigs[sig_key])
 
     if "fgt" in sigs:
         n, h, w, _ = p["frames_shape"]
@@ -219,7 +235,8 @@ def main():
     ap.add_argument("--cpu_frame_upscale", action="store_true")
     ap.add_argument("--fgt_ckpts", default="checkpoints/fgt")
     ap.add_argument("--lafc_ckpts", default="checkpoints/lafc")
-    ap.add_argument("--stage", choices=["all", "raft", "fgt"],
+    ap.add_argument("--stage", choices=["all", "raft", "raft_fused",
+                                        "fgt"],
                     default="all")
     ap.add_argument("--timeout", type=float, default=None)
     ap.add_argument("--retry", action="store_true",
