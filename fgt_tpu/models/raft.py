@@ -507,7 +507,7 @@ class SmallUpdateBlock(nn.Module):
     cfg: RAFTConfig
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow):
+    def __call__(self, net, inp, corr, flow, with_mask: bool = True):
         motion = SmallMotionEncoder(self.cfg, name="encoder")(flow, corr)
         gru_in = jnp.concatenate([inp, motion], axis=-1)
         net = ConvGRU(self.cfg.hidden_dim, name="gru")(net, gru_in)
@@ -523,12 +523,20 @@ class BasicUpdateBlock(nn.Module):
     cfg: RAFTConfig
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow):
+    def __call__(self, net, inp, corr, flow, with_mask: bool = True):
         motion = BasicMotionEncoder(self.cfg, name="encoder")(flow, corr)
         gru_in = jnp.concatenate([inp, motion], axis=-1)
         net = SepConvGRU(self.cfg.hidden_dim, name="gru")(net, gru_in)
         d = nn.relu(nn.Conv(256, (3, 3), padding=1, name="flow_conv1")(net))
         delta = nn.Conv(2, (3, 3), padding=1, name="flow_conv2")(d)
+        if not with_mask:
+            # inference skips the 576-channel upsample-mask head on all
+            # but the final iteration — only the last flow is upsampled
+            # (reference raft.py:123-140 upsamples per iteration because
+            # torch eagerly materializes either way; under XLA the dead
+            # head costs real HBM writes inside the scan). Param creation
+            # is unaffected: the final iteration always passes True.
+            return net, None, delta
         m = nn.relu(nn.Conv(256, (3, 3), padding=1, name="mask_conv1")(net))
         mask = 0.25 * nn.Conv(64 * 9, (1, 1), name="mask_conv2")(m)
         return net, mask, delta
@@ -626,20 +634,29 @@ class RAFT(nn.Module):
         cfg = self.cfg
         iters = iters or cfg.iters
         update = self.update_block
-        fmap1 = fmap1.astype(jnp.float32)
-        fmap2 = fmap2.astype(jnp.float32)
         if cfg.alternate_corr:
-            pyramid = build_fmap_pyramid(fmap2, cfg.corr_levels)
+            fmap1 = fmap1.astype(jnp.float32)
+            pyramid = build_fmap_pyramid(fmap2.astype(jnp.float32),
+                                         cfg.corr_levels)
         elif cfg.fused_corr:
             from fgt_tpu.ops.corr_fused_pallas import pad_fmap_pyramid
 
             # padded + cast ONCE per refine call, outside the GRU loop;
-            # the kernel recomputes correlations from these features
+            # the kernel recomputes correlations from these features.
+            # fmap1 stays in the storage dtype (the kernel accumulates
+            # the feature dot in f32 on the MXU either way) — up-casting
+            # it to f32 here would double the per-iteration f1 stream
+            kdt = (jnp.float32 if cfg.corr_dtype == "float32"
+                   else jnp.dtype(cfg.corr_dtype))
+            fmap1 = fmap1.astype(kdt)
             pyramid = pad_fmap_pyramid(
-                build_fmap_pyramid(fmap2, cfg.corr_levels),
+                build_fmap_pyramid(fmap2.astype(jnp.float32),
+                                   cfg.corr_levels),
                 dtype=(None if cfg.corr_dtype == "float32"
                        else cfg.corr_dtype))
         else:
+            fmap1 = fmap1.astype(jnp.float32)
+            fmap2 = fmap2.astype(jnp.float32)
             # pooling runs in f32; storage follows corr_dtype (narrow
             # taps feed the bf16 update block anyway); construction is
             # chunked so the f32 all-pairs transient stays bounded at
@@ -653,7 +670,7 @@ class RAFT(nn.Module):
         B, H8, W8, _ = fmap1.shape
         coords0 = coords_grid(B, H8, W8)
 
-        def step(carry, _):
+        def step(carry, need_up: bool):
             net, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)
             if cfg.alternate_corr:
@@ -674,8 +691,11 @@ class RAFT(nn.Module):
                 corr = lookup_corr_pyramid(pyramid, coords1,
                                            cfg.corr_radius)
             flow = coords1 - coords0
-            net, mask, delta = update(net, inp, corr, flow)
+            net, mask, delta = update(net, inp, corr, flow,
+                                      with_mask=need_up)
             coords1 = coords1 + delta
+            if not need_up:
+                return (net, coords1), None
             if mask is None:  # small variant: bilinear x8
                 flow_up = upflow8(coords1 - coords0)
             else:
@@ -685,12 +705,17 @@ class RAFT(nn.Module):
         # The update block is applied `iters` times with SHARED weights; a
         # python loop keeps sharing and traces once per distinct `iters`
         # (nn.scan would rename params; jax.lax.scan can't close over an
-        # unbound module).
+        # unbound module). In test_mode only the FINAL prediction is
+        # consumed (reference raft.py:139-140), so the 576-channel
+        # upsample-mask head and the [B, 8H, 8W, 2] convex upsample are
+        # computed once, not per iteration — torch pays them eagerly every
+        # iteration; under XLA they were ~1.5 GB/iter of dead HBM writes.
         carry = (net, coords0)
         flow_up = None
         flows = []
-        for _ in range(iters):
-            carry, flow_up = step(carry, None)
+        for i in range(iters):
+            need_up = (not test_mode) or i == iters - 1
+            carry, flow_up = step(carry, need_up)
             if not test_mode:
                 flows.append(flow_up)
         if test_mode:
