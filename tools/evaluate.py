@@ -53,6 +53,7 @@ def main(argv=None):
     ap.add_argument("--vfid_ckpt", default="",
                     help="converted I3D weights (msgpack); VFID is skipped "
                          "without it (random-init features are meaningless)")
+    ap.add_argument("--raft_iters", type=int, default=20)
     args = ap.parse_args(argv)
 
     videos = sorted(os.listdir(args.frames))
@@ -63,6 +64,7 @@ def main(argv=None):
         "--mode", "object_removal", "--imgH", str(args.imgH),
         "--imgW", str(args.imgW), "--lafc_ckpts", args.lafc_ckpts,
         "--fgt_ckpts", args.fgt_ckpts, "--raft_model", args.raft_model,
+        "--raft_iters", str(args.raft_iters),
     ])
     models = Models(pipe_args)
 
