@@ -161,12 +161,16 @@ def run_raft(args) -> str:
     def once():
         f, b, df, db = calculate_flows_scan(
             models, vid_dev, n, args.imgH, args.imgW, flow_h, flow_w,
-            iters=20, chunk=args.chunk)
-        jax.block_until_ready((df, db))
-        return f
+            iters=20, chunk=args.chunk, defer_forward=True,
+            defer_backward=True)
+        # block_until_ready does NOT wait under axon; a tiny fetch of the
+        # scan output is the only real drain. Without it the warm calls'
+        # device work bleeds into the traced window and the trace shows
+        # ops from programs the traced call never ran.
+        np.asarray(b()[-1, :1, :1])
 
     once()  # compile + tunnel warm
-    once()
+    once()   # fetch inside once() drains the device before tracing
     with maybe_trace(args.out, enabled=True):
         once()
     return args.out
