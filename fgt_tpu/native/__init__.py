@@ -63,7 +63,8 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float)]
         if not (hasattr(lib, "flownn_pass")
-                and hasattr(lib, "unfilled_mask")):  # stale older .so
+                and hasattr(lib, "unfilled_mask")
+                and hasattr(lib, "flownn_fuse")):  # stale older .so
             subprocess.run(["make", "-C", _NATIVE_DIR, "clean", "all"],
                            check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(_LIB_PATH)
@@ -81,6 +82,16 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.flownn_fuse.restype = None
+        lib.flownn_fuse.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
         lib.unfilled_mask.restype = None
         lib.unfilled_mask.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
@@ -154,13 +165,22 @@ def flownn_pass(mask: np.ndarray, flow_follow: np.ndarray,
 
 
 def flownn_sample(grad: np.ndarray, have: np.ndarray, nn_x: np.ndarray,
-                  nn_y: np.ndarray, nn_t: np.ndarray,
-                  forward: bool) -> np.ndarray:
-    """Chain-endpoint sampling. grad: [N, H, W, C] f32 (copied, returned
-    filled); have/nn_*: the flownn_pass outputs."""
+                  nn_y: np.ndarray, nn_t: np.ndarray, forward: bool,
+                  inplace: bool = False) -> np.ndarray:
+    """Chain-endpoint sampling. grad: [N, H, W, C] f32 (copied and
+    returned filled; with ``inplace=True`` a contiguous f32 grad is
+    mutated directly — the evolving-array semantics make the kernel
+    in-place by construction, and the copy here cost ~17 s per call on
+    the slow-first-touch host at outpainting scale);
+    have/nn_*: the flownn_pass outputs."""
     lib = _load()
     assert lib is not None
-    g = np.array(grad, np.float32, copy=True, order="C")
+    if inplace:
+        assert (grad.dtype == np.float32
+                and grad.flags["C_CONTIGUOUS"]), "inplace needs C f32"
+        g = grad
+    else:
+        g = np.array(grad, np.float32, copy=True, order="C")
     hv = np.ascontiguousarray(have, np.uint8)
     nx = np.ascontiguousarray(nn_x, np.float32)
     ny = np.ascontiguousarray(nn_y, np.float32)
@@ -170,6 +190,33 @@ def flownn_sample(grad: np.ndarray, have: np.ndarray, nn_x: np.ndarray,
                       _ptr(nx, ctypes.c_float), _ptr(ny, ctypes.c_float),
                       _ptr(nt, ctypes.c_int32), int(forward), n, h, w, c)
     return g
+
+
+def flownn_fuse(gx: np.ndarray, gy: np.ndarray, s_bn: np.ndarray,
+                s_fn: np.ndarray, bn_pass, fn_pass, mask: np.ndarray,
+                alpha: float) -> np.ndarray:
+    """BN/FN candidate fusion, in place (reference
+    get_flowNN_gradient.py:466-534). gx/gy: [N, H, W, C] f32 contiguous,
+    MUTATED at hole pixels; s_bn/s_fn: [N, H, W, 2C] sampled evolving
+    gradients (gx|gy stacked on channels); bn_pass/fn_pass: flownn_pass
+    outputs; mask: [N, H, W] uint8. Returns tofill [N, H, W] uint8."""
+    lib = _load()
+    assert lib is not None
+    n, h, w, c = gx.shape
+    for a in (gx, gy, s_bn, s_fn):
+        assert a.dtype == np.float32 and a.flags["C_CONTIGUOUS"]
+    have_bn, _, _, _, cu_bn, cv_bn = bn_pass
+    have_fn, _, _, _, cu_fn, cv_fn = fn_pass
+    tofill = np.empty((n, h, w), np.uint8)
+    lib.flownn_fuse(
+        _ptr(gx, ctypes.c_float), _ptr(gy, ctypes.c_float),
+        _ptr(s_bn, ctypes.c_float), _ptr(s_fn, ctypes.c_float),
+        _ptr(have_bn, ctypes.c_uint8), _ptr(cu_bn, ctypes.c_float),
+        _ptr(cv_bn, ctypes.c_float), _ptr(have_fn, ctypes.c_uint8),
+        _ptr(cu_fn, ctypes.c_float), _ptr(cv_fn, ctypes.c_float),
+        _ptr(mask, ctypes.c_uint8), _ptr(tofill, ctypes.c_uint8),
+        float(alpha), n, h, w, c)
+    return tofill
 
 
 def bilinear_interp(img: np.ndarray, xs: np.ndarray,

@@ -251,6 +251,11 @@ def get_flownn_gradient_frames(cfg: PropagationConfig,
     [H, W, ..., N] views back to contiguous [N, ...] buffers; this path
     has none. Equivalence is pinned by test (same math, same kernels).
 
+    CONSUMES gradient_x/gradient_y: when they are already contiguous
+    f32 the native fusion fills their hole pixels in place and returns
+    them (the defensive copies cost ~13 s at outpainting scale on this
+    host). No pipeline caller reads the inputs afterwards.
+
     Returns (gradient_x, gradient_y, mask_tofill), frame-first.
     """
     import os
@@ -267,45 +272,35 @@ def get_flownn_gradient_frames(cfg: PropagationConfig,
         return (gx_r.transpose(3, 0, 1, 2), gy_r.transpose(3, 0, 1, 2),
                 tofill_r.transpose(2, 0, 1))
 
+    from fgt_tpu.utils.hostmem import retain_heap
+    retain_heap()
+
     mask_n = np.ascontiguousarray(mask, np.uint8)
     vf = np.ascontiguousarray(video_flow_f, np.float32)
     vb = np.ascontiguousarray(video_flow_b, np.float32)
-    passes = []
-    for follow, check, fwd in ((vb, vf, True), (vf, vb, False)):
-        have, nx, ny, nt, cu, cv_ = native.flownn_pass(
-            mask_n, follow, check, fwd, cfg.consistency_thres)
-        passes.append((have.astype(bool), nx, ny, nt,
-                       np.sqrt(cu * cu + cv_ * cv_)))
-    (have_bn, bx, by, bt, cons_bn), (have_fn, fx, fy, ft, cons_fn) = passes
+    bn_pass = native.flownn_pass(mask_n, vb, vf, True,
+                                 cfg.consistency_thres)
+    fn_pass = native.flownn_pass(mask_n, vf, vb, False,
+                                 cfg.consistency_thres)
 
-    # one chain walk per direction, gx|gy stacked on channels
-    g_both = np.ascontiguousarray(
-        np.concatenate([gradient_x, gradient_y], axis=3), np.float32)
-    C = gradient_x.shape[3]
-    s_bn = native.flownn_sample(g_both, have_bn, bx, by, bt, True)
-    s_fn = native.flownn_sample(g_both, have_fn, fx, fy, ft, False)
-
-    gradient_x = gradient_x.copy()
-    gradient_y = gradient_y.copy()
-    N, H, W = mask_n.shape
-    mask_tofill = np.zeros((N, H, W), bool)
-
-    ts, ys, xs = np.nonzero(mask_n)
-    have = np.stack([have_bn[ts, ys, xs], have_fn[ts, ys, xs]], -1)
-    cons = np.stack([cons_bn[ts, ys, xs], cons_fn[ts, ys, xs]], -1)
-    w = np.exp(-cons / cfg.alpha) * have
-    wsum = w.sum(-1, keepdims=True)
-    fallback = have / np.maximum(have.sum(-1, keepdims=True), 1)
-    weights = np.where(wsum > 0, w / np.maximum(wsum, 1e-30), fallback)
-    any_nn = have.any(-1)
-    for grad, c_bn, c_fn in ((gradient_x, s_bn[..., :C], s_fn[..., :C]),
-                             (gradient_y, s_bn[..., C:], s_fn[..., C:])):
-        fused = (c_bn[ts, ys, xs] * weights[:, :1]
-                 + c_fn[ts, ys, xs] * weights[:, 1:])
-        grad[ts, ys, xs] = np.where(any_nn[:, None], fused,
-                                    grad[ts, ys, xs])
-    mask_tofill[ts, ys, xs] = ~any_nn
-    return gradient_x, gradient_y, mask_tofill
+    # One chain walk per direction over its own evolving copy (gx|gy
+    # stacked on channels), sampled IN PLACE; fusion runs natively and
+    # writes straight into the (consumed) gradient arrays. The Python
+    # fusion this replaces indexed every hole pixel through
+    # np.nonzero/f64 fancy-index temporaries — GB-scale allocations
+    # that dominated the stage on the slow-first-touch host (~57 s of
+    # a 68 s stage at the 48-frame outpainting shape).
+    gx_out = np.ascontiguousarray(gradient_x, np.float32)
+    gy_out = np.ascontiguousarray(gradient_y, np.float32)
+    s_bn = np.concatenate([gx_out, gy_out], axis=3)
+    s_fn = np.concatenate([gx_out, gy_out], axis=3)
+    native.flownn_sample(s_bn, bn_pass[0], bn_pass[1], bn_pass[2],
+                         bn_pass[3], True, inplace=True)
+    native.flownn_sample(s_fn, fn_pass[0], fn_pass[1], fn_pass[2],
+                         fn_pass[3], False, inplace=True)
+    tofill = native.flownn_fuse(gx_out, gy_out, s_bn, s_fn, bn_pass,
+                                fn_pass, mask_n, cfg.alpha)
+    return gx_out, gy_out, tofill.view(bool)
 
 
 _KEY_FRAMES = lambda N: (0, N // 2, N - 1)  # noqa: E731

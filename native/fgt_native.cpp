@@ -638,6 +638,64 @@ void unfilled_mask(const uint8_t* hole, const uint8_t* gm, int H, int W,
   for (size_t i = 0; i < n; ++i) out[i] = tl[i] & br[i];
 }
 
-int fgt_native_version() { return 3; }
+// BN/FN candidate fusion (reference get_flowNN_gradient.py:466-534):
+// per hole pixel, blend the two directions' sampled gradients with
+// exp(-consistency/alpha) weights; equal-split fallback when both
+// weights underflow; pixels with no candidate stay unfilled. Writes gx
+// and gy IN PLACE (only at hole pixels) and emits the tofill mask —
+// the Python-side fusion this replaces allocated GB-scale f64 index /
+// weight temporaries, which on slow-first-touch hosts dominated the
+// whole stage (see fgt_tpu/pipeline/propagation.py).
+void flownn_fuse(float* gx, float* gy, const float* s_bn, const float* s_fn,
+                 const uint8_t* have_bn, const float* cu_bn,
+                 const float* cv_bn, const uint8_t* have_fn,
+                 const float* cu_fn, const float* cv_fn,
+                 const uint8_t* mask, uint8_t* tofill, float alpha,
+                 int N, int H, int W, int C) {
+  const int64_t total = static_cast<int64_t>(N) * H * W;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < total; ++i) {
+    if (!mask[i]) {
+      tofill[i] = 0;
+      continue;
+    }
+    const bool hb = have_bn[i] != 0, hf = have_fn[i] != 0;
+    if (!hb && !hf) {
+      tofill[i] = 1;
+      continue;
+    }
+    tofill[i] = 0;
+    // f32 math end-to-end, matching the numpy path it replaces
+    // (cons arrays were f32; np.exp on f32 stays f32)
+    float w0 = hb ? std::exp(-std::sqrt(cu_bn[i] * cu_bn[i]
+                                        + cv_bn[i] * cv_bn[i]) / alpha)
+                  : 0.f;
+    float w1 = hf ? std::exp(-std::sqrt(cu_fn[i] * cu_fn[i]
+                                        + cv_fn[i] * cv_fn[i]) / alpha)
+                  : 0.f;
+    const float s = w0 + w1;
+    if (s > 0.f) {
+      const float inv = 1.f / (s < 1e-30f ? 1e-30f : s);
+      w0 *= inv;
+      w1 *= inv;
+    } else {  // both weights underflowed: equal split over candidates
+      const float inv = 1.f / static_cast<float>((hb ? 1 : 0) + (hf ? 1 : 0));
+      w0 = hb ? inv : 0.f;
+      w1 = hf ? inv : 0.f;
+    }
+    const float* bx = s_bn + i * 2 * C;
+    const float* fx = s_fn + i * 2 * C;
+    float* dx = gx + i * C;
+    float* dy = gy + i * C;
+    for (int c = 0; c < C; ++c) {
+      dx[c] = w0 * bx[c] + w1 * fx[c];
+      dy[c] = w0 * bx[C + c] + w1 * fx[C + c];
+    }
+  }
+}
+
+int fgt_native_version() { return 4; }
 
 }  // extern "C"
