@@ -63,6 +63,15 @@ def cli_relay_guard():
        1800 s themselves) bounds how long to wait for a flap to clear."""
     if honor_cpu_request() or not on_axon():
         return
+    try:
+        import jax
+
+        # already force-selected cpu in-process (e.g. the test suite's
+        # conftest or dryrun_multichip) — nothing will dial the tunnel
+        if getattr(jax.config, "jax_platforms", None) == "cpu":
+            return
+    except Exception:  # pragma: no cover - jax absent/odd build
+        pass
     if not wait_for_relay(float(os.environ.get("FGT_RELAY_WAIT", "120"))):
         raise SystemExit(
             "fgt_tpu: the TPU relay (127.0.0.1:8083) is unreachable, so "
