@@ -42,11 +42,10 @@ the XLA reshape back repacked 2.4 GB per level per iteration
 Numerics: identical contraction to `lookup_corr_pyramid` up to f32
 reassociation. Taps outside a level's image are exactly zero
 (grid_sample zeros-padding semantics) via the explicit bounds masks.
-All dots accumulate in f32 on the MXU; their RESULTS are written in
-the feature dtype. Under bf16 features this is exactly the production
-bf16 pyramid's regime (bf16-stored corr values, bf16 axis weights —
-raft.py _axis_weights follows vol.dtype), and it halves the kernel's
-per-pixel VMEM, doubling the pixel block per grid step.
+With bfloat16 features the correlation is computed FROM bf16 operands
+in f32 — strictly closer to the f32 reference than the production
+bf16-storage pyramid, which rounds the f32 correlation values
+themselves to bf16.
 """
 
 from __future__ import annotations
@@ -89,34 +88,21 @@ def _fused_kernel(cxy_ref, f1_ref, f2_ref, out_ref, f2_vmem, sem, *,
         cp.start()
         cp.wait()
 
-    # compute dtype of the slab / tap weights / intermediate taps: the
-    # feature dtype. Under bf16 this is EXACTLY the production pyramid
-    # paths' regime (they store the corr volume bf16 and build bf16
-    # axis weights — raft.py _axis_weights uses vol.dtype); it halves
-    # the per-pixel VMEM (doubling the block) and runs the tap dots at
-    # the MXU's bf16 rate. f32 features keep today's all-f32 math.
-    cdt = f2_vmem.dtype
     f1 = f1_ref[:]                                   # [bn, C]
-    # the MXU accumulates in f32 internally either way; asking for the
-    # compute dtype directly avoids materializing an f32 twin of every
-    # dot output in VMEM (which halved the block size). The 1/sqrt(C)
-    # scale is folded into the y-axis tap weights (taps are linear in
-    # them), so the slab needs no epilogue multiply at all.
     vol = jax.lax.dot_general(
         f1, f2_vmem[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=cdt).reshape(bn, H0, Wp)
+        preferred_element_type=jnp.float32)          # [bn, H0*Wp]
+    vol = (vol * scale).reshape(bn, H0, Wp)
 
     cx = cxy_ref[:, 0].astype(jnp.float32)
     cy = cxy_ref[:, 1].astype(jnp.float32)
 
-    def axis_weights(c0, lvl, size_l, size0, amp=1.0):
+    def axis_weights(c0, lvl, size_l, size0):
         # Expanded level-l bilinear one-hot over the LEVEL-0 axis: tap
         # cell t at level l covers level-0 cells [t*2^l, (t+1)*2^l) at
         # weight 1/2^l (avg-pool linearity). Cells outside [0, size_l)
         # contribute exactly zero (bilinear_sampler zeros padding +
         # reference floor-pooling drops trailing odd rows/cols).
-        # ``amp`` carries the slab's 1/sqrt(C) normalization (y axis
-        # only) so no dot needs an epilogue multiply.
         step = 2 ** lvl
         c = c0 * (1.0 / step)
         cf = jnp.floor(c)
@@ -125,11 +111,11 @@ def _fused_kernel(cxy_ref, f1_ref, f2_ref, out_ref, f2_vmem, sem, *,
         t = cf.astype(jnp.int32)[:, None, None] + d          # [bn, k, 1]
         g = jax.lax.broadcasted_iota(
             jnp.int32, (bn, k, size0), 2) // step
-        inv = amp / step
+        inv = 1.0 / step
         w = jnp.where((g == t) & (t < size_l), (1.0 - frac) * inv, 0.0)
         w = w + jnp.where((g == t + 1) & (t + 1 < size_l), frac * inv,
                           0.0)
-        return w.astype(cdt)
+        return w.astype(jnp.float32)
 
     # ALL levels' tap weights ride ONE pair of batched contractions:
     # separate per-level dots have M = k = 9 rows — the MXU pads each
@@ -139,19 +125,17 @@ def _fused_kernel(cxy_ref, f1_ref, f2_ref, out_ref, f2_vmem, sem, *,
     # computes off-diagonal level pairs too (+4x tap FLOPs, still
     # <25% of the corr dot); the diagonal blocks are the taps.
     wy_all = jnp.concatenate(
-        [axis_weights(cy, lvl, hl, H0, amp=scale)
+        [axis_weights(cy, lvl, hl, H0)
          for lvl, (hl, _) in enumerate(sizes)], axis=1)  # [bn, L*k, H0]
     wx_all = jnp.concatenate(
         [axis_weights(cx, lvl, wl, Wp)
          for lvl, (_, wl) in enumerate(sizes)], axis=1)  # [bn, L*k, Wp]
-    # compute-dtype intermediates between the two contractions match
-    # the XLA bf16 pyramid lookup (its first einsum's result is bf16)
     tmp = jax.lax.dot_general(
         wy_all, vol, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=cdt)                  # [bn, L*k(dy), Wp]
+        preferred_element_type=jnp.float32)          # [bn, L*k(dy), Wp]
     cross = jax.lax.dot_general(
         wx_all, tmp, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=cdt)            # [bn, L*k(dx), L*k(dy)]
+        preferred_element_type=jnp.float32)    # [bn, L*k(dx), L*k(dy)]
     cross = cross.astype(out_ref.dtype)
     for lvl in range(len(sizes)):
         # lane-packed flat store: k strided column writes per level
@@ -174,13 +158,11 @@ def _fused_block_n(HW0: int, Hi: int, Wp: int, C: int, k: int,
         * C * itemsize
     per_px = (
         2 * C * itemsize                      # f1 in (double-buffered)
-        + Hi * Wp * itemsize                  # corr slab (compute dtype)
-        # weights live in the compute dtype; their int32 build iota is
-        # freed before the dots but overlaps one level's weight build
-        + lkp * _round_up(Hi, lane) * itemsize + k * _round_up(Hi, lane) * 4
-        + lkp * Wp * itemsize + k * Wp * 4
-        + lkp * Wp * itemsize                 # tmp
-        + lkp * _round_up(levels * k, lane) * itemsize  # cross product
+        + Hi * Wp * 4                         # level-0 corr slab (f32)
+        + 2 * lkp * _round_up(Hi, lane) * 4   # wy_all + build iota
+        + 2 * lkp * Wp * 4                    # wx_all + build iota
+        + lkp * Wp * 4                        # tmp
+        + lkp * _round_up(levels * k, lane) * 4   # cross product
         + 2 * _round_up(levels * k * k, lane) * itemsize  # out (dbl)
         + 2 * 2 * lane * 4                    # cxy in
     )
